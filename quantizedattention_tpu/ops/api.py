@@ -1,0 +1,188 @@
+"""Public attention APIs with JAX AD integration.
+
+The TPU counterpart of the reference's torch.autograd.Function layer
+(SURVEY.md §1 L3):
+
+  flash_attention_bf16  <- flash_atten_2_bf16 / FlashAttention_2_BF16_
+                           autograd_function (attention_bf16.py:16-105):
+                           corrected-bf16 forward, fp32 FA2 backward;
+                           residuals (q, k, v, O, lse) exactly as the
+                           reference saves (attention_bf16.py:56).
+  sage_attention_int8   <- sage_attention_3_int8 / SageAttention3_Int8_
+                           autograd_function (attention_int8.py:20-95,434-451):
+                           K-smoothing, int8 forward; backward re-uses the
+                           forward's int8 blocks + scales + k_mean
+                           (attention_int8.py:58-65).
+  attention_jvp         <- helion_attention_jvp_forward_fp32 consumed by
+                           torch fwd-mode AD (attention_jvp.py:24, README:19-22):
+                           here a jax.custom_jvp whose tangent rule is the
+                           fused JVP kernel.
+
+Block configs are resolved *before* the custom-AD boundary so forward and
+backward share one static tiling (the reference threads (Bq,Bkv) through
+ctx.args at runtime, attention_int8.py:65 — JAX requires them static).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
+from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
+from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd
+from quantizedattention_tpu.ops.jvp_fwd import attention_jvp_fwd
+from quantizedattention_tpu.quantize.smoothing import k_smooth
+from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
+
+
+# --------------------------------------------------------------------------
+# bf16: corrected-bf16 forward, fp32 FlashAttention-2 backward
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_bf16(q, k, v, causal, sm_scale, config, corrected):
+    o, _ = flash_attention_fwd(
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, corrected=corrected
+    )
+    return o
+
+
+def _bf16_fwd(q, k, v, causal, sm_scale, config, corrected):
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, corrected=corrected
+    )
+    return o, (q, k, v, o, lse)
+
+
+def _bf16_bwd(causal, sm_scale, config, corrected, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, lse, do, causal=causal, sm_scale=sm_scale, config=config
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_bf16.defvjp(_bf16_fwd, _bf16_bwd)
+
+
+def flash_attention_bf16(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    corrected: bool = True,
+) -> jnp.ndarray:
+    """Corrected-bf16 flash attention, differentiable (fp32 backward).
+
+    q/k/v: [batch, head, tokens, head_dim]. Returns O in f32 — the public
+    wrapper drops lse exactly like the reference (attention_bf16.py:101-105).
+    """
+    if config is None:
+        config = default_block_config("bf16", q.shape[2], k.shape[2])
+    return _flash_attention_bf16(q, k, v, causal, sm_scale, config, corrected)
+
+
+# --------------------------------------------------------------------------
+# int8: SageAttention3-style forward + int8 backward (fine-tuning)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sage_attention_int8(q, k, v, causal, sm_scale, config):
+    k_smoothed, _ = k_smooth(k)
+    o, _, _ = int8_attention_fwd(
+        q, k_smoothed, v, causal=causal, sm_scale=sm_scale, config=config
+    )
+    return o
+
+
+def _int8_fwd_rule(q, k, v, causal, sm_scale, config):
+    k_smoothed, k_mean = k_smooth(k)
+    o, lse, residuals = int8_attention_fwd(
+        q, k_smoothed, v, causal=causal, sm_scale=sm_scale, config=config
+    )
+    dims = (q.shape[0], q.shape[1], q.shape[2], k.shape[2], q.shape[3])
+    return o, (residuals, k_mean, o, lse, dims)
+
+
+def _int8_bwd_rule(causal, sm_scale, config, res, do):
+    residuals, k_mean, o, lse, dims = res
+    dq, dk, dv = int8_attention_bwd(
+        residuals, k_mean, o, lse, do, dims,
+        causal=causal, sm_scale=sm_scale, config=config,
+    )
+    return dq, dk, dv
+
+
+_sage_attention_int8.defvjp(_int8_fwd_rule, _int8_bwd_rule)
+
+
+def sage_attention_int8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+) -> jnp.ndarray:
+    """INT8 attention (K-smoothed, per-block quantized), differentiable with
+    an int8 backward. Returns O in f32 (the reference's wrapper likewise
+    returns only O, attention_int8.py:447-451).
+
+    Note the cotangent dtype follows q/k/v; `causal` defaults to False like
+    the reference kernel (which has no causal path at all — ours does).
+    """
+    if config is None:
+        config = default_block_config("int8", q.shape[2], k.shape[2])
+    # Primals are carried in f32 (quantization inside produces the int8 path;
+    # f32 primals keep the custom_vjp cotangent dtypes uniform).
+    return _sage_attention_int8(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal, sm_scale, config,
+    )
+
+
+# --------------------------------------------------------------------------
+# JVP: forward-mode attention with fused tangent-O
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5))
+def _attention_jvp(q, k, v, causal, sm_scale, config):
+    o, _ = flash_attention_fwd(
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, precision="fp32"
+    )
+    return o
+
+
+@_attention_jvp.defjvp
+def _attention_jvp_rule(causal, sm_scale, config, primals, tangents):
+    q, k, v = primals
+    tq, tk, tv = tangents
+    o, to, _ = attention_jvp_fwd(
+        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config
+    )
+    return o, to
+
+
+def attention_jvp(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+) -> jnp.ndarray:
+    """fp32 attention whose forward-mode AD rule is the fused JVP kernel.
+
+    Use under jax.jvp / jax.linearize: jvp(attention_jvp, (q,k,v), (tq,tk,tv))
+    computes (O, tO) in one streaming pass (reference: attention_jvp.py:24,
+    motivated by flow-matching diffusion distillation).
+    """
+    if config is None:
+        config = default_block_config("jvp", q.shape[2], k.shape[2])
+    return _attention_jvp(q, k, v, causal, sm_scale, config)

@@ -1,0 +1,256 @@
+"""fp32 FlashAttention-2 Algorithm-4 backward (Pallas/Mosaic).
+
+TPU-native re-design of the reference's `helion_flash_atten_2_algo_4_bwd`
+(attention_bf16.py:299-448), split into two race-free kernels:
+
+  * dKV kernel — grid (b·h, kv_blocks, q_blocks), q innermost; accumulates
+    dK and dV for one kv tile in VMEM scratch across all q tiles.
+  * dQ kernel — grid (b·h, q_blocks, kv_blocks), kv innermost; accumulates
+    dQ for one q tile in VMEM scratch across all kv tiles.
+
+This removes the reference's dq read-modify-write race (different k-tile
+programs read+write the same dq rows through HBM, attention_bf16.py:427-432 —
+SURVEY.md §2.3 Q2): on TPU each output element is owned by exactly one
+program.
+
+Math fixes vs the reference (SURVEY.md §2.3 Q1): FA2 Algorithm 4 derives
+dS = P ∘ (dP − D); the reference multiplies by the *logits* S instead
+(attention_bf16.py:421). We implement the correct formula and validate
+against jax.grad of the fp32 oracle. D = rowsum(dO ∘ O) is precomputed once
+outside the kernels and shared by both passes.
+
+Everything is computed in f32 (the reference upcasts likewise,
+attention_bf16.py:342-344); MXU dots run at Precision.HIGHEST by default so
+the backward really is fp32, with a `fast` flag to allow bf16-rate passes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quantizedattention_tpu.ops.common import pad_tokens, qk_scales, tile_mask
+from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
+from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
+
+_LANES = 128
+
+
+def _recompute_p(q, k, lse, mask, qk_scale, precision):
+    """P = exp2(qk_scale·QKᵀ − lse), masked to 0 outside the valid region."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+    )
+    p = jnp.exp2(s * qk_scale - lse)
+    return jnp.where(mask, p, 0.0)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+    *, sm_scale, qk_scale, causal, kv_len, num_q_blocks, block_q, block_kv, precision,
+):
+    kj = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q_start = qi * block_q
+    k_start = kj * block_kv
+
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]
+        di = di_ref[0][:, :1]
+
+        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        p = _recompute_p(q, k, lse, mask, qk_scale, precision)  # [bq, bkv]
+
+        # dV += Pᵀ dO  (contract over q)
+        dv_scr[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        # dP = dO Vᵀ  (contract over head_dim)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = p * (dp - di) * sm_scale
+        # dK += dSᵀ Q  (contract over q)
+        dk_scr[...] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    if causal:
+        pl.when(q_start + block_q - 1 >= k_start)(_body)
+    else:
+        _body()
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
+    *, sm_scale, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv, precision,
+):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q_start = qi * block_q
+    k_start = kj * block_kv
+
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
+        lse = lse_ref[0][:, :1]
+        di = di_ref[0][:, :1]
+
+        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        p = _recompute_p(q, k, lse, mask, qk_scale, precision)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        ds = p * (dp - di) * sm_scale
+        # dQ += dS K  (contract over kv)
+        dq_scr[...] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    if causal:
+        pl.when(q_start + block_q - 1 >= k_start)(_body)
+    else:
+        _body()
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _epilogue():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "config", "fast", "interpret"),
+)
+def flash_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    o: jnp.ndarray,
+    lse: jnp.ndarray,
+    do: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    fast: bool = False,
+    interpret: bool | None = None,
+):
+    """fp32 FA2 backward. Residuals (q,k,v,O,lse) match the forward's outputs.
+
+    lse: [b, h, q_tokens] in the exp2 domain (m + log2 l). Returns
+    (dq, dk, dv) in f32. `fast=True` lets the MXU run the recompute matmuls
+    at bf16 rate (DEFAULT precision) instead of true f32.
+    """
+    if interpret is None:
+        interpret = use_interpret_mode()
+    batch, head, q_tokens, head_dim = q.shape
+    kv_len = k.shape[2]
+    if config is None:
+        config = default_block_config("fp32", q_tokens, kv_len)
+    block_q, block_kv = config.block_q_bwd, config.block_kv_bwd
+    sm_scale, qk_scale = qk_scales(head_dim, sm_scale)
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+
+    bh = batch * head
+    f32 = jnp.float32
+    q3 = pad_tokens(q.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
+    k3 = pad_tokens(k.astype(f32).reshape(bh, kv_len, head_dim), block_kv, 1)
+    v3 = pad_tokens(v.astype(f32).reshape(bh, kv_len, head_dim), block_kv, 1)
+    do3 = pad_tokens(do.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
+    o3 = pad_tokens(o.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
+
+    # D = rowsum(dO ∘ O), shared by both passes (the reference recomputes it
+    # per tile, attention_bf16.py:416); broadcast to 128 lanes for TPU tiling.
+    di = jnp.sum(do3 * o3, axis=-1)
+    di_b = jnp.broadcast_to(di[..., None], (*di.shape, _LANES))
+    lse3 = pad_tokens(lse.astype(f32).reshape(bh, q_tokens), block_q, 1)
+    lse_b = jnp.broadcast_to(lse3[..., None], (*lse3.shape, _LANES))
+
+    padded_q, padded_kv = q3.shape[1], k3.shape[1]
+    num_q_blocks = cdiv(padded_q, block_q)
+    num_kv_blocks = cdiv(padded_kv, block_kv)
+
+    common = dict(
+        sm_scale=sm_scale,
+        qk_scale=qk_scale,
+        causal=causal,
+        kv_len=kv_len,
+        block_q=block_q,
+        block_kv=block_kv,
+        precision=precision,
+    )
+
+    q_spec = pl.BlockSpec((1, block_q, head_dim), lambda b, j, i: (b, i, 0))
+    kv_spec = pl.BlockSpec((1, block_kv, head_dim), lambda b, j, i: (b, j, 0))
+    lane_spec = pl.BlockSpec((1, block_q, _LANES), lambda b, j, i: (b, i, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, num_q_blocks=num_q_blocks, **common),
+        grid=(bh, num_kv_blocks, num_q_blocks),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lane_spec, lane_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, padded_kv, head_dim), f32),
+            jax.ShapeDtypeStruct((bh, padded_kv, head_dim), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, head_dim), f32),
+            pltpu.VMEM((block_kv, head_dim), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse_b, di_b)
+
+    q_spec_q = pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0))
+    kv_spec_q = pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0))
+    lane_spec_q = pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0))
+
+    (dq,) = pl.pallas_call(
+        functools.partial(_dq_kernel, num_kv_blocks=num_kv_blocks, **common),
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, lane_spec_q, lane_spec_q],
+        out_specs=[q_spec_q],
+        out_shape=[jax.ShapeDtypeStruct((bh, padded_q, head_dim), f32)],
+        scratch_shapes=[pltpu.VMEM((block_q, head_dim), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse_b, di_b)
+
+    dq = dq[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
+    dk = dk[:, :kv_len].reshape(batch, head, kv_len, head_dim)
+    dv = dv[:, :kv_len].reshape(batch, head, kv_len, head_dim)
+    return dq, dk, dv

@@ -1,0 +1,243 @@
+"""Corrected-bf16 flash-attention forward (Pallas/Mosaic).
+
+TPU-native re-design of the reference's Helion kernel
+`helion_atten_bf16_fwd_training` (attention_bf16.py:107-296): online-softmax
+flash attention whose P tile is rounded to bf16 so the P@V matmul runs on the
+MXU at bf16 rate, with the arXiv:2510.04212 tied-max amplification (BETA rule)
+preventing the exp2(S-m)~1 bf16 rounding failure that destabilizes training.
+
+Deliberate TPU-first divergences (all documented in SURVEY.md §2.3 / §7):
+  * Softmax statistics (m, l, accumulator) are f32 — on TPU the VPU runs f32
+    elementwise ops at full rate, so there is no reason to hold m in bf16 as
+    the reference does (attention_bf16.py:197); the *capability* — bf16 P on
+    the matrix unit with corrected numerics — is preserved, since bf16-P is
+    where the failure mode lives.
+  * Q/K arrive in bf16 (TPU MXU-native) rather than fp16 (CUDA-native).
+  * Grid is (batch*head, q_blocks, kv_blocks) with kv innermost and VMEM
+    scratch carrying (m, l, acc) across kv steps; causal kv blocks that lie
+    entirely above the diagonal are skipped.
+
+Returns (O f32 [b,h,q,d], lse f32 [b,h,q]) with lse = m + log2(l) in the exp2
+domain, exactly the residual contract the backward consumes
+(attention_bf16.py:288-296).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quantizedattention_tpu.ops.common import MASK_VALUE, pad_tokens, qk_scales, tile_mask
+from quantizedattention_tpu.quantize.bf16_correction import APPROX_MAX_TOL, BETA, amplify_tied_max
+from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
+from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
+
+_LANES = 128
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    qk_scale: float,
+    causal: bool,
+    kv_len: int,
+    num_kv_blocks: int,
+    block_q: int,
+    block_kv: int,
+    p_dtype,
+    corrected: bool,
+    beta: float,
+    tol: float,
+):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q_start = qi * block_q
+    k_start = kj * block_kv
+
+    # f32 inputs must not be truncated to bf16 by the MXU in fp32 mode.
+    dot_precision = (
+        jax.lax.Precision.HIGHEST if p_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+
+    def _body():
+        q = q_ref[0]
+        k = k_ref[0]
+        # S = Q Kᵀ on the MXU, f32 accumulation.
+        s = jax.lax.dot_general(
+            q,
+            k,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision,
+        )
+        s = s * qk_scale
+
+        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_scr[...][:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        next_m = jnp.maximum(m_prev, m_cur)
+        if corrected:
+            # arXiv:2510.04212: amplify tied maxima so every bf16 P entry
+            # lands strictly below 1.0 (reference: attention_bf16.py:241-264).
+            next_m = amplify_tied_max(s, next_m, beta=beta, tol=tol)
+
+        p = jnp.exp2(s - next_m)
+        p = jnp.where(mask, p, 0.0).astype(p_dtype)
+
+        alpha = jnp.exp2(m_prev - next_m)
+        # l sums the *rounded* P (what actually enters the PV matmul), so the
+        # epilogue normalization matches the accumulated mass
+        # (reference: attention_bf16.py:274).
+        l_cur = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        l_next = l_scr[...][:, :1] * alpha + l_cur
+
+        v = v_ref[0]
+        pv = jax.lax.dot_general(
+            p,
+            v.astype(p_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    if causal:
+        # Skip kv blocks entirely above the diagonal.
+        pl.when(q_start + block_q - 1 >= k_start)(_body)
+    else:
+        _body()
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[...][:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        # lse carries a broadcast 128-lane trailing dim (TPU tiling requires
+        # the last dim be 128-aligned); the wrapper slices [..., 0].
+        lse_ref[0] = jnp.broadcast_to(m_scr[...][:, :1] + jnp.log2(l_safe), lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "sm_scale",
+        "config",
+        "precision",
+        "corrected",
+        "beta",
+        "tol",
+        "interpret",
+    ),
+)
+def flash_attention_fwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    precision: str = "bf16",
+    corrected: bool = True,
+    beta: float = BETA,
+    tol: float = APPROX_MAX_TOL,
+    interpret: bool | None = None,
+):
+    """Flash-attention forward. q/k/v: [batch, head, tokens, head_dim].
+
+    precision: "bf16" rounds P to bf16 for the MXU (the reference's training
+    path); "fp32" keeps everything f32 (oracle-grade, used by the JVP family).
+    Returns (O f32, lse f32 [b, h, q_tokens]).
+    """
+    if interpret is None:
+        interpret = use_interpret_mode()
+    batch, head, q_tokens, head_dim = q.shape
+    kv_len = k.shape[2]
+    if config is None:
+        config = default_block_config("bf16" if precision == "bf16" else "fp32", q_tokens, kv_len)
+    block_q, block_kv = config.block_q, config.block_kv
+
+    if precision == "bf16":
+        compute_dtype, p_dtype = jnp.bfloat16, jnp.bfloat16
+    elif precision == "fp32":
+        compute_dtype, p_dtype = jnp.float32, jnp.float32
+    else:
+        raise ValueError(f"unknown precision {precision!r}")
+
+    _, qk_scale = qk_scales(head_dim, sm_scale)
+
+    q3 = pad_tokens(q.astype(compute_dtype).reshape(batch * head, q_tokens, head_dim), block_q, 1)
+    k3 = pad_tokens(k.astype(compute_dtype).reshape(batch * head, kv_len, head_dim), block_kv, 1)
+    v3 = pad_tokens(v.astype(compute_dtype).reshape(batch * head, kv_len, head_dim), block_kv, 1)
+
+    bh = batch * head
+    padded_q, padded_kv = q3.shape[1], k3.shape[1]
+    num_q_blocks = cdiv(padded_q, block_q)
+    num_kv_blocks = cdiv(padded_kv, block_kv)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        qk_scale=qk_scale,
+        causal=causal,
+        kv_len=kv_len,
+        num_kv_blocks=num_kv_blocks,
+        block_q=block_q,
+        block_kv=block_kv,
+        p_dtype=p_dtype,
+        corrected=corrected,
+        beta=beta,
+        tol=tol,
+    )
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, padded_q, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bh, padded_q, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q3, k3, v3)
+
+    o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
+    lse = lse[:, :q_tokens, 0].reshape(batch, head, q_tokens)
+    return o, lse

@@ -1,0 +1,66 @@
+"""Per-kernel block-size configuration.
+
+The TPU analogue of the reference's tunable Helion config:
+`hl.register_tunable("Bq"/"Bkv", PowerOfTwoFragment(32, 256, 32))` and pinned
+`helion.Config(block_sizes=...)` (reference: attention_int8.py:155-159,
+attention_bf16.py:299-308, README.md:57-67). On TPU the natural tile grain is
+(sublane, 128-lane): fp32 (8,128), bf16 (16,128), int8 (32,128); the MXU is
+128x128 — so block sizes are multiples of 128 wherever the budget allows.
+
+Unlike the reference — which threads the tuned (Bq, Bkv) through
+`ctx.args` at runtime (attention_int8.py:65,81) — JAX block sizes must be
+static at trace time: a BlockConfig is fixed *before* jit/custom_vjp tracing
+and becomes part of the residual contract between forward and backward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    """Block sizes for one attention kernel family.
+
+    block_q / block_kv: forward tile sizes along the q / kv token axes.
+    block_q_bwd / block_kv_bwd: backward tile sizes (the dKV pass iterates q
+    inside kv and the dQ pass iterates kv inside q, so they tune separately —
+    same reasoning as the JAX flash-attention reference implementation).
+    """
+
+    block_q: int = 256
+    block_kv: int = 256
+    block_q_bwd: int = 128
+    block_kv_bwd: int = 128
+
+    def __post_init__(self):
+        for name in ("block_q", "block_kv", "block_q_bwd", "block_kv_bwd"):
+            val = getattr(self, name)
+            if val % 128 != 0:
+                raise ValueError(f"{name}={val} must be a multiple of 128 (TPU lane width)")
+
+    def clamp(self, q_tokens: int, kv_tokens: int) -> "BlockConfig":
+        """Shrink blocks to fit short sequences (never below 128)."""
+
+        def fit(block: int, tokens: int) -> int:
+            return max(128, min(block, ((tokens + 127) // 128) * 128))
+
+        return BlockConfig(
+            block_q=fit(self.block_q, q_tokens),
+            block_kv=fit(self.block_kv, kv_tokens),
+            block_q_bwd=fit(self.block_q_bwd, q_tokens),
+            block_kv_bwd=fit(self.block_kv_bwd, kv_tokens),
+        )
+
+
+# Pinned defaults per kernel family (v5e-friendly; retuned via tune.autotune).
+_DEFAULTS = {
+    "bf16": BlockConfig(block_q=256, block_kv=512, block_q_bwd=256, block_kv_bwd=256),
+    "int8": BlockConfig(block_q=256, block_kv=256, block_q_bwd=128, block_kv_bwd=128),
+    "jvp": BlockConfig(block_q=256, block_kv=256),
+    "fp32": BlockConfig(block_q=128, block_kv=256, block_q_bwd=128, block_kv_bwd=128),
+}
+
+
+def default_block_config(kind: str, q_tokens: int, kv_tokens: int) -> BlockConfig:
+    return _DEFAULTS[kind].clamp(q_tokens, kv_tokens)
