@@ -1,0 +1,36 @@
+"""Multi-chip distribution layer (shard_map over a jax.sharding.Mesh).
+
+This whole layer is new capability relative to the reference, which is
+single-GPU only (SURVEY.md §2.4: zero torch.distributed / NCCL usage; its
+only scaling mechanism is the O(seq) online-softmax stream inside one
+device). The TPU build scales the same kernels across a pod slice:
+
+  * head-sharded tensor parallelism (the attention grid already iterates
+    b·h independently, so head sharding is communication-free);
+  * ring attention over an ICI ring for sequence scaling — KV shards (and,
+    for int8, their quantized blocks + scale tables) rotate via
+    jax.lax.ppermute while each chip streams its partial online softmax,
+    merged with the kernels' own (m, l) rescale identity;
+  * an int8-quantized KV cache with a Pallas decode kernel for serving.
+"""
+
+from quantizedattention_tpu.parallel.mesh import make_attention_mesh
+from quantizedattention_tpu.parallel.sharded import make_sharded_attention
+from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_attention
+from quantizedattention_tpu.parallel.kv_cache import (
+    QuantizedKVCache,
+    init_kv_cache,
+    append_kv,
+    decode_attention,
+)
+
+__all__ = [
+    "make_attention_mesh",
+    "make_sharded_attention",
+    "ring_attention",
+    "make_ring_attention",
+    "QuantizedKVCache",
+    "init_kv_cache",
+    "append_kv",
+    "decode_attention",
+]

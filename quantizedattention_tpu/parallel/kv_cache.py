@@ -1,0 +1,220 @@
+"""INT8-quantized KV cache + Pallas decode attention (serving path).
+
+New capability vs the reference (no serving/inference layer exists there;
+the north-star BASELINE.json demands a quantized KV-cache inference path).
+
+Design: the cache stores int8 K/V payloads with *per-token* symmetric scales
+(append-friendly — adding a token never re-scales old blocks). Decode is
+bandwidth-bound, so the win of int8 here is halved HBM traffic: the kernel
+dequantizes tiles in VMEM right before the matmuls (the same
+load-then-dequantize structure as JAX's quantized paged attention). Scales
+are stored [b·h, max_len, 1] so a (block_kv, 1) tile multiplies straight
+into the dequantized K/V tile.
+
+GQA layout: q heads are grouped onto their KV head — [b, n_kv, group, d] —
+so each grid cell computes `group` query rows against one KV head with zero
+cross-chip traffic when heads are sharded (see parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quantizedattention_tpu.ops.common import qk_scales
+from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
+
+_LANES = 128
+
+
+class QuantizedKVCache(NamedTuple):
+    """int8 KV cache: payload [b, h_kv, max_len, d], scales [b, h_kv, max_len, 1]."""
+
+    k_i8: jnp.ndarray
+    sk: jnp.ndarray
+    v_i8: jnp.ndarray
+    sv: jnp.ndarray
+    length: jnp.ndarray  # [b] int32, tokens filled per batch row
+
+    @property
+    def max_len(self) -> int:
+        return self.k_i8.shape[2]
+
+
+def init_kv_cache(batch: int, n_kv_heads: int, max_len: int, head_dim: int) -> QuantizedKVCache:
+    return QuantizedKVCache(
+        k_i8=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
+        sk=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        v_i8=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
+        sv=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _row_quant(x):
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
+    x_i8 = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
+    return x_i8, s.astype(jnp.float32)
+
+
+@jax.jit
+def append_kv(cache: QuantizedKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray) -> QuantizedKVCache:
+    """Quantize and append [b, h_kv, t_new, d] keys/values at each row's length."""
+    k_i8, sk = _row_quant(k_new.astype(jnp.float32))
+    v_i8, sv = _row_quant(v_new.astype(jnp.float32))
+
+    def upd(buf, val, pos):
+        # buf [h, max_len, ...], val [h, t_new, ...] — one batch row
+        return jax.lax.dynamic_update_slice(buf, val, (0, pos, 0))
+
+    t_new = k_new.shape[2]
+    return QuantizedKVCache(
+        k_i8=jax.vmap(upd)(cache.k_i8, k_i8, cache.length),
+        sk=jax.vmap(upd)(cache.sk, sk, cache.length),
+        v_i8=jax.vmap(upd)(cache.v_i8, v_i8, cache.length),
+        sv=jax.vmap(upd)(cache.sv, sv, cache.length),
+        length=cache.length + t_new,
+    )
+
+
+def _decode_kernel(
+    len_ref,  # SMEM [b*h_kv] int32
+    q_ref, k_ref, sk_ref, v_ref, sv_ref,
+    o_ref,
+    m_scr, l_scr, acc_scr,
+    *, qk_scale, block_kv, num_kv_blocks,
+):
+    bh = pl.program_id(0)
+    kj = pl.program_id(1)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    length = len_ref[bh]
+    k_start = kj * block_kv
+
+    @pl.when(k_start < length)
+    def _body():
+        # dequantize the int8 tiles in VMEM (per-token scales)
+        k_f = k_ref[0].astype(jnp.float32) * sk_ref[0]
+        v_f = v_ref[0].astype(jnp.float32) * sv_ref[0]
+        q = q_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k_f, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * qk_scale  # [group, block_kv]
+
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = cols < length
+        s = jnp.where(mask, s, -jnp.inf)
+
+        m_prev = m_scr[...][:, :1]
+        next_m = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(mask, jnp.exp2(s - next_m), 0.0)
+        alpha = jnp.exp2(m_prev - next_m)
+        l_next = l_scr[...][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p, v_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[...][:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_kv", "interpret"))
+def decode_attention(
+    q: jnp.ndarray,
+    cache: QuantizedKVCache,
+    sm_scale: float | None = None,
+    block_kv: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Single-token decode: q [b, n_q_heads, d] against the int8 cache.
+
+    Supports GQA (n_q_heads a multiple of the cache's n_kv_heads). Returns
+    [b, n_q_heads, d] f32.
+    """
+    if interpret is None:
+        interpret = use_interpret_mode()
+    batch, n_q_heads, head_dim = q.shape
+    n_kv = cache.k_i8.shape[1]
+    if n_q_heads % n_kv != 0:
+        raise ValueError(f"{n_q_heads} q heads not a multiple of {n_kv} kv heads")
+    group = n_q_heads // n_kv
+    # pad the GQA group to the f32 sublane minimum
+    group_pad = max(8, ((group + 7) // 8) * 8)
+    max_len = cache.max_len
+    if max_len % block_kv != 0:
+        block_kv = max(128, min(block_kv, max_len))
+        if max_len % block_kv != 0:
+            raise ValueError(f"max_len={max_len} must be a multiple of block_kv")
+
+    _, qk_scale = qk_scales(head_dim, sm_scale)
+    bh = batch * n_kv
+
+    qg = q.astype(jnp.float32).reshape(batch, n_kv, group, head_dim)
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
+    qg = qg.reshape(bh, group_pad, head_dim)
+
+    k_i8 = cache.k_i8.reshape(bh, max_len, head_dim)
+    sk = cache.sk.reshape(bh, max_len, 1)
+    v_i8 = cache.v_i8.reshape(bh, max_len, head_dim)
+    sv = cache.sv.reshape(bh, max_len, 1)
+    lengths = jnp.broadcast_to(cache.length[:, None], (batch, n_kv)).reshape(bh)
+
+    num_kv_blocks = cdiv(max_len, block_kv)
+
+    kernel = functools.partial(
+        _decode_kernel,
+        qk_scale=qk_scale,
+        block_kv=block_kv,
+        num_kv_blocks=num_kv_blocks,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, group_pad, head_dim), lambda b, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, 1), lambda b, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, 1), lambda b, j, *_: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, group_pad, head_dim), lambda b, j, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((group_pad, head_dim), jnp.float32),
+        ],
+    )
+
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, group_pad, head_dim), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, qg, k_i8, sk, v_i8, sv)
+
+    o = o.reshape(batch, n_kv, group_pad, head_dim)[:, :, :group]
+    return o.reshape(batch, n_q_heads, head_dim)
