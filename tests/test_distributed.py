@@ -1,0 +1,86 @@
+"""Distribution layer tests on an 8-device emulated CPU mesh.
+
+The reference has no distributed path at all (SURVEY.md §2.4); these tests
+pin the new capability: sharded results must match the single-device oracle
+bit-for-bit in structure and within kernel tolerance in value.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quantizedattention_tpu.parallel import (
+    make_attention_mesh,
+    make_ring_attention,
+    make_sharded_attention,
+)
+from quantizedattention_tpu.reference import reference_attention
+from quantizedattention_tpu.utils.testing import mismatch_report
+from tests.conftest import make_qkv
+
+
+def test_mesh_construction():
+    mesh = make_attention_mesh(data=2, model=2, context=2)
+    assert mesh.shape == {"data": 2, "model": 2, "context": 2}
+
+
+@pytest.mark.parametrize("kind,atol", [("bf16", 1e-2), ("int8", 5e-2)])
+def test_head_tp_data_parallel(rng, kind, atol):
+    """batch on 2-way data, heads on 4-way model — communication-free."""
+    mesh = make_attention_mesh(data=2, model=4)
+    q, k, v, _ = make_qkv(rng, batch=2, head=4, q_tokens=256)
+    fn = make_sharded_attention(mesh, kind=kind, causal=True)
+    o = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    rep = mismatch_report(f"tp {kind}", o, want, atol=atol)
+    assert rep.mismatch_rate <= 2e-3, rep
+
+
+def test_head_tp_differentiable(rng):
+    """Gradients flow through the shard_map + custom_vjp composition."""
+    mesh = make_attention_mesh(data=1, model=2)
+    q, k, v, do = make_qkv(rng, batch=1, head=2, q_tokens=256)
+    fn = make_sharded_attention(mesh, kind="bf16", causal=False)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(fn(q_, k_, v_) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rep = mismatch_report(nm, g, w, atol=1e-2)
+        assert rep.mismatch_rate <= 3.5e-4, rep
+
+
+@pytest.mark.parametrize("kind,causal,atol", [
+    ("bf16", False, 1e-2),
+    ("bf16", True, 1e-2),
+    ("int8", False, 5e-2),
+    ("int8", True, 5e-2),
+])
+def test_ring_attention(rng, kind, causal, atol):
+    """4-way sequence-sharded ring == unsharded oracle."""
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    fn = make_ring_attention(mesh, kind=kind, causal=causal)
+    o = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    rep = mismatch_report(f"ring {kind} causal={causal}", o, want, atol=atol)
+    assert rep.mismatch_rate <= 2e-3, rep
+    assert not bool(jnp.any(jnp.isnan(o)))
+
+
+def test_ring_matches_single_device_kernel(rng):
+    """The ring must agree with the *same kernel* run unsharded — isolating
+    communication/merge errors from kernel quantization error."""
+    from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    q, k, v, _ = make_qkv(rng, batch=1, head=1, q_tokens=512)
+    fn = make_ring_attention(mesh, kind="bf16", causal=False)
+    o_ring = fn(q, k, v)
+    o_single, _ = flash_attention_fwd(q, k, v, causal=False)
+    rep = mismatch_report("ring vs single", o_ring, o_single, atol=1e-3)
+    assert rep.mismatch_rate <= 1e-4, rep
