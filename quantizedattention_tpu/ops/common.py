@@ -35,17 +35,26 @@ def tile_mask(
     block_kv: int,
     kv_len: int,
     causal: bool,
+    k_local_start=None,
 ):
     """Boolean [block_q, block_kv] mask: True where the logit is valid.
 
     Standard causal `k <= q` (divergence from the reference's strict `k < q`,
     SURVEY.md §2.3 Q6) combined with a kv-length mask for padded key blocks.
+
+    q_start/k_start are *global* token positions (they include any
+    sequence-shard offset, so causal stays correct under ring/context
+    parallelism); `k_local_start` is the position within the local shard,
+    against which the shard's own padding (kv_len) is masked. When the two
+    coincide (single device) pass only k_start.
     """
-    col_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
-    mask = col_ids < kv_len
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+    if k_local_start is None:
+        k_local_start = k_start
+    mask = (k_local_start + col_iota) < kv_len
     if causal:
         row_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
-        mask = jnp.logical_and(mask, col_ids <= row_ids)
+        mask = jnp.logical_and(mask, (k_start + col_iota) <= row_ids)
     return mask
 
 

@@ -50,6 +50,7 @@ def _recompute_p(q, k, lse, mask, qk_scale, precision):
 
 
 def _dkv_kernel(
+    qoff_ref, koff_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_q_blocks, block_q, block_kv, precision,
 ):
@@ -61,8 +62,9 @@ def _dkv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q_start = qi * block_q
-    k_start = kj * block_kv
+    k_local = kj * block_kv
+    q_start = qoff_ref[0] + qi * block_q
+    k_start = koff_ref[0] + k_local
 
     def _body():
         q = q_ref[0]
@@ -72,7 +74,9 @@ def _dkv_kernel(
         lse = lse_ref[0][:, :1]
         di = di_ref[0][:, :1]
 
-        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        mask = tile_mask(
+            q_start, k_start, block_q, block_kv, kv_len, causal, k_local_start=k_local
+        )
         p = _recompute_p(q, k, lse, mask, qk_scale, precision)  # [bq, bkv]
 
         # dV += Pᵀ dO  (contract over q)
@@ -104,6 +108,7 @@ def _dkv_kernel(
 
 
 def _dq_kernel(
+    qoff_ref, koff_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv, precision,
 ):
@@ -114,8 +119,9 @@ def _dq_kernel(
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q_start = qi * block_q
-    k_start = kj * block_kv
+    k_local = kj * block_kv
+    q_start = qoff_ref[0] + qi * block_q
+    k_start = koff_ref[0] + k_local
 
     def _body():
         q = q_ref[0]
@@ -125,7 +131,9 @@ def _dq_kernel(
         lse = lse_ref[0][:, :1]
         di = di_ref[0][:, :1]
 
-        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        mask = tile_mask(
+            q_start, k_start, block_q, block_kv, kv_len, causal, k_local_start=k_local
+        )
         p = _recompute_p(q, k, lse, mask, qk_scale, precision)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -164,6 +172,8 @@ def flash_attention_bwd(
     config: BlockConfig | None = None,
     fast: bool = False,
     interpret: bool | None = None,
+    q_offset: jnp.ndarray | int = 0,
+    k_offset: jnp.ndarray | int = 0,
 ):
     """fp32 FA2 backward. Residuals (q,k,v,O,lse) match the forward's outputs.
 
@@ -210,6 +220,10 @@ def flash_attention_bwd(
         precision=precision,
     )
 
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    koff = jnp.asarray(k_offset, jnp.int32).reshape(1)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     q_spec = pl.BlockSpec((1, block_q, head_dim), lambda b, j, i: (b, i, 0))
     kv_spec = pl.BlockSpec((1, block_kv, head_dim), lambda b, j, i: (b, j, 0))
     lane_spec = pl.BlockSpec((1, block_q, _LANES), lambda b, j, i: (b, i, 0))
@@ -217,7 +231,7 @@ def flash_attention_bwd(
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, num_q_blocks=num_q_blocks, **common),
         grid=(bh, num_kv_blocks, num_q_blocks),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lane_spec, lane_spec],
+        in_specs=[smem_spec, smem_spec, q_spec, kv_spec, kv_spec, q_spec, lane_spec, lane_spec],
         out_specs=[kv_spec, kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, padded_kv, head_dim), f32),
@@ -231,7 +245,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q3, k3, v3, do3, lse_b, di_b)
+    )(qoff, koff, q3, k3, v3, do3, lse_b, di_b)
 
     q_spec_q = pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0))
     kv_spec_q = pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0))
@@ -240,7 +254,7 @@ def flash_attention_bwd(
     (dq,) = pl.pallas_call(
         functools.partial(_dq_kernel, num_kv_blocks=num_kv_blocks, **common),
         grid=(bh, num_q_blocks, num_kv_blocks),
-        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, lane_spec_q, lane_spec_q],
+        in_specs=[smem_spec, smem_spec, q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, lane_spec_q, lane_spec_q],
         out_specs=[q_spec_q],
         out_shape=[jax.ShapeDtypeStruct((bh, padded_q, head_dim), f32)],
         scratch_shapes=[pltpu.VMEM((block_q, head_dim), f32)],
@@ -248,7 +262,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q3, k3, v3, do3, lse_b, di_b)
+    )(qoff, koff, q3, k3, v3, do3, lse_b, di_b)
 
     dq = dq[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
     dk = dk[:, :kv_len].reshape(batch, head, kv_len, head_dim)

@@ -40,6 +40,8 @@ _LANES = 128
 
 
 def _fwd_kernel(
+    qoff_ref,
+    koff_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -69,8 +71,11 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q_start = qi * block_q
-    k_start = kj * block_kv
+    # global offsets make causal masking correct for sequence-sharded q/kv
+    # (ring attention / context parallelism) — 0 on a single device
+    k_local = kj * block_kv
+    q_start = qoff_ref[0] + qi * block_q
+    k_start = koff_ref[0] + k_local
 
     # f32 inputs must not be truncated to bf16 by the MXU in fp32 mode.
     dot_precision = (
@@ -90,7 +95,9 @@ def _fwd_kernel(
         )
         s = s * qk_scale
 
-        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        mask = tile_mask(
+            q_start, k_start, block_q, block_kv, kv_len, causal, k_local_start=k_local
+        )
         s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_scr[...][:, :1]
@@ -164,6 +171,8 @@ def flash_attention_fwd(
     beta: float = BETA,
     tol: float = APPROX_MAX_TOL,
     interpret: bool | None = None,
+    q_offset: jnp.ndarray | int = 0,
+    k_offset: jnp.ndarray | int = 0,
 ):
     """Flash-attention forward. q/k/v: [batch, head, tokens, head_dim].
 
@@ -197,6 +206,9 @@ def flash_attention_fwd(
     num_q_blocks = cdiv(padded_q, block_q)
     num_kv_blocks = cdiv(padded_kv, block_kv)
 
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    koff = jnp.asarray(k_offset, jnp.int32).reshape(1)
+
     kernel = functools.partial(
         _fwd_kernel,
         qk_scale=qk_scale,
@@ -215,6 +227,8 @@ def flash_attention_fwd(
         kernel,
         grid=(bh, num_q_blocks, num_kv_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
@@ -236,7 +250,7 @@ def flash_attention_fwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q3, k3, v3)
+    )(qoff, koff, q3, k3, v3)
 
     o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
     lse = lse[:, :q_tokens, 0].reshape(batch, head, q_tokens)

@@ -6,21 +6,25 @@ jax.lax.ppermute — point-to-point, neighbor-only, so the transfer rides ICI
 at full bandwidth — while every chip streams its partial online softmax over
 the KV block currently in front of it. Partials (O_i, lse_i) are merged with
 the exact rescale identity the kernels already use internally
-(attention_bf16.py:276-280): the merge is associative, so the ring order
-doesn't matter.
+(attention_bf16.py:276-280): the merge is associative, so ring order doesn't
+matter.
 
 The ppermute for step s+1 is issued *before* step s's kernel so XLA's
 latency-hiding scheduler overlaps transfer with compute.
 
-Causal masking uses the shard trichotomy (valid because q and kv are sharded
-identically): step 0 is the aligned diagonal block (causal kernel); later
-steps hold KV from shard src = (idx − step) mod n, which is either entirely
-in the past (full attention) or entirely in the future (skip — zero
-contribution).
+Causal masking: the kernels take dynamic global q/k offsets, so each ring
+step runs ONE kernel with q_offset = my_shard·t and k_offset = src_shard·t —
+the in-kernel block-skip prunes fully-masked tiles, and shards entirely in
+the future are skipped wholesale with lax.cond.
+
+Differentiability (bf16 path): ring_attention is a custom_vjp whose backward
+is itself a ring — (K, V, dK_acc, dV_acc) rotate together; each chip
+accumulates its dQ locally and the visiting shard's dK/dV into the rotating
+accumulators, which arrive home after one final rotation.
 
 For the int8 path, each chip quantizes its KV shard once and the ring
 rotates the int8 payload *and its per-block scale table* — half the ICI
-bytes of a bf16 ring.
+bytes of a bf16 ring (forward/inference path).
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
 from quantizedattention_tpu.ops.int8_fwd import (
     int8_attention_fwd_from_quantized,
@@ -54,6 +59,161 @@ def _merge_partials(o1, lse1, o2, lse2):
     return o, lse
 
 
+def _rotate(state, axis_name, perm):
+    return jax.tree_util.tree_map(lambda x: jax.lax.ppermute(x, axis_name, perm), state)
+
+
+# --------------------------------------------------------------------------
+# bf16 ring: differentiable (custom_vjp; backward is also a ring)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_bf16(q, k, v, axis_name, causal, sm_scale, config):
+    o, _ = _ring_bf16_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
+    return o
+
+
+def _ring_bf16_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    batch, head, t_local, head_dim = q.shape
+    q_off = idx * t_local
+
+    o = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
+    lse = jnp.full((batch, head, t_local), _NEG_INF, jnp.float32)
+    kv = (k, v)
+    for step in range(n):
+        kv_next = _rotate(kv, axis_name, perm) if step < n - 1 else None
+        src = (idx - step) % n
+
+        def _attend(kv_pair, src=src):
+            k_blk, v_blk = kv_pair
+            return flash_attention_fwd(
+                q, k_blk, v_blk, causal=causal, sm_scale=sm_scale, config=config,
+                q_offset=q_off, k_offset=src * t_local,
+            )
+
+        if causal and step > 0:
+            # future shards contribute nothing — skip the kernel wholesale
+            o_p, lse_p = jax.lax.cond(
+                src < idx,
+                _attend,
+                lambda kv_pair: (jnp.zeros_like(o), jnp.full_like(lse, _NEG_INF)),
+                kv,
+            )
+        else:
+            o_p, lse_p = _attend(kv)
+        o, lse = _merge_partials(o, lse, o_p, lse_p)
+        if kv_next is not None:
+            kv = kv_next
+    return o, lse
+
+
+def _ring_bf16_fwd(q, k, v, axis_name, causal, sm_scale, config):
+    o, lse = _ring_bf16_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_bf16_bwd(axis_name, causal, sm_scale, config, res, do):
+    q, k, v, o, lse = res
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    t_local = q.shape[2]
+    q_off = idx * t_local
+
+    dq = jnp.zeros_like(q, dtype=jnp.float32)
+    # dK/dV accumulators ride the ring WITH their shard: at step s this chip
+    # holds shard (idx−s) and the running gradient for exactly that shard
+    k_blk, v_blk = k, v
+    dk_acc = jnp.zeros_like(k, dtype=jnp.float32)
+    dv_acc = jnp.zeros_like(v, dtype=jnp.float32)
+    for step in range(n):
+        # K/V for the next step don't depend on this step's compute — rotate
+        # them first so the transfer overlaps the backward kernels
+        kv_next = _rotate((k_blk, v_blk), axis_name, perm) if step < n - 1 else None
+        src = (idx - step) % n
+
+        def _grads(operand, src=src):
+            k_b, v_b = operand
+            return flash_attention_bwd(
+                q, k_b, v_b, o, lse, do, causal=causal, sm_scale=sm_scale,
+                config=config, q_offset=q_off, k_offset=src * t_local,
+            )
+
+        if causal and step > 0:
+            dq_p, dk_p, dv_p = jax.lax.cond(
+                src < idx,
+                _grads,
+                lambda operand: (
+                    jnp.zeros_like(dq), jnp.zeros_like(dk_acc), jnp.zeros_like(dv_acc),
+                ),
+                (k_blk, v_blk),
+            )
+        else:
+            dq_p, dk_p, dv_p = _grads((k_blk, v_blk))
+
+        dq = dq + dq_p
+        dk_acc = dk_acc + dk_p
+        dv_acc = dv_acc + dv_p
+        if kv_next is not None:
+            dk_acc, dv_acc = _rotate((dk_acc, dv_acc), axis_name, perm)
+            k_blk, v_blk = kv_next
+
+    # after n-1 rotations the accumulators sit one hop before home
+    dk, dv = _rotate((dk_acc, dv_acc), axis_name, perm)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_bf16.defvjp(_ring_bf16_fwd, _ring_bf16_bwd)
+
+
+# --------------------------------------------------------------------------
+# int8 ring: quantize local shard once, rotate int8 payload + scales
+# --------------------------------------------------------------------------
+
+def _ring_int8_fwd(q, k, v, axis_name, causal, sm_scale, config):
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    batch, head, t_local, head_dim = q.shape
+    dims = (batch, head, t_local, t_local, head_dim)
+
+    (q_i8, sq), k_res, v_res = quantize_qkv(q, k, v, config)
+
+    o = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
+    lse = jnp.full((batch, head, t_local), _NEG_INF, jnp.float32)
+    kv = (k_res, v_res)
+    for step in range(n):
+        kv_next = _rotate(kv, axis_name, perm) if step < n - 1 else None
+        src = (idx - step) % n
+
+        def _attend(kv_state, causal_step):
+            (k_i8, sk), (v_i8, sv) = kv_state
+            return int8_attention_fwd_from_quantized(
+                ((q_i8, sq), (k_i8, sk), (v_i8, sv)), dims,
+                causal=causal_step, sm_scale=sm_scale, config=config,
+            )
+
+        if causal:
+            if step == 0:
+                o_p, lse_p = _attend(kv, True)  # aligned diagonal shard
+            else:
+                o_p, lse_p = jax.lax.cond(
+                    src < idx,
+                    lambda s: _attend(s, False),  # strictly past: attend fully
+                    lambda s: (jnp.zeros_like(o), jnp.full_like(lse, _NEG_INF)),
+                    kv,
+                )
+        else:
+            o_p, lse_p = _attend(kv, False)
+        o, lse = _merge_partials(o, lse, o_p, lse_p)
+        if kv_next is not None:
+            kv = kv_next
+    return o
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -67,80 +227,17 @@ def ring_attention(
     """Ring attention on per-device shards — call inside shard_map.
 
     q/k/v: local shards [b, h, t_local, d], sequence sharded identically on
-    `axis_name`. kind: "bf16" (corrected-bf16 kernel) or "int8" (quantized
-    ring). Returns the local O shard in f32.
+    `axis_name`. kind "bf16" is differentiable (custom_vjp ring backward);
+    kind "int8" rotates quantized KV blocks + scales (forward/inference).
+    Returns the local O shard in f32.
     """
-    n = jax.lax.axis_size(axis_name)
-    idx = jax.lax.axis_index(axis_name)
-    perm = [(i, (i + 1) % n) for i in range(n)]
-    batch, head, t_local, head_dim = q.shape
-
     if config is None:
-        config = default_block_config(kind, t_local, t_local)
-
+        config = default_block_config(kind, q.shape[2], q.shape[2])
+    if kind == "bf16":
+        return _ring_bf16(q, k, v, axis_name, causal, sm_scale, config)
     if kind == "int8":
-        (q_i8, sq), k_res, v_res = quantize_qkv(q, k, v, config)
-        dims = (batch, head, t_local, t_local, head_dim)
-
-        def attend(kv_state, causal_step):
-            (k_i8, sk), (v_i8, sv) = kv_state
-            return int8_attention_fwd_from_quantized(
-                ((q_i8, sq), (k_i8, sk), (v_i8, sv)), dims,
-                causal=causal_step, sm_scale=sm_scale, config=config,
-            )
-
-        kv_state = (k_res, v_res)
-    elif kind == "bf16":
-
-        def attend(kv_state, causal_step):
-            k_blk, v_blk = kv_state
-            return flash_attention_fwd(
-                q, k_blk, v_blk, causal=causal_step, sm_scale=sm_scale, config=config
-            )
-
-        kv_state = (k, v)
-    else:
-        raise ValueError(f"unknown ring kind {kind!r}")
-
-    def rotate(state):
-        return jax.tree_util.tree_map(
-            lambda x: jax.lax.ppermute(x, axis_name, perm), state
-        )
-
-    o = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
-    lse = jnp.full((batch, head, t_local), _NEG_INF, jnp.float32)
-
-    for step in range(n):
-        # issue the transfer for the next step before computing this one, so
-        # the collective-permute overlaps the attention kernel
-        kv_next = rotate(kv_state) if step < n - 1 else None
-
-        if causal:
-            if step == 0:
-                # aligned shard: the diagonal block, ordinary causal kernel
-                o_p, lse_p = attend(kv_state, True)
-            else:
-                # src shard is strictly past (attend fully) or future (skip)
-                src = (idx - step) % n
-
-                def _full(kv):
-                    return attend(kv, False)
-
-                def _skip(kv):
-                    return (
-                        jnp.zeros_like(o),
-                        jnp.full_like(lse, _NEG_INF),
-                    )
-
-                o_p, lse_p = jax.lax.cond(src < idx, _full, _skip, kv_state)
-        else:
-            o_p, lse_p = attend(kv_state, False)
-
-        o, lse = _merge_partials(o, lse, o_p, lse_p)
-        if kv_next is not None:
-            kv_state = kv_next
-
-    return o
+        return _ring_int8_fwd(q, k, v, axis_name, causal, sm_scale, config)
+    raise ValueError(f"unknown ring kind {kind!r}")
 
 
 def make_ring_attention(

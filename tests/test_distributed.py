@@ -84,3 +84,22 @@ def test_ring_matches_single_device_kernel(rng):
     o_single, _ = flash_attention_fwd(q, k, v, causal=False)
     rep = mismatch_report("ring vs single", o_ring, o_single, atol=1e-3)
     assert rep.mismatch_rate <= 1e-4, rep
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_differentiable(rng, causal):
+    """The ring backward (rotating dK/dV accumulators) == oracle gradients."""
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, do = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    fn = make_ring_attention(mesh, kind="bf16", causal=causal)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(fn(q_, k_, v_) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=causal)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rep = mismatch_report(f"ring {nm}", g, w, atol=1e-2)
+        assert rep.mismatch_rate <= 3.5e-4, rep
