@@ -1,0 +1,108 @@
+"""Benchmark: int8 attention throughput vs bf16 SDPA on one TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json north-star): int8 fused-attention speedup over
+the XLA bf16 SDPA anchor at the reference's canonical shape
+(batch=8, heads=35, seq=1024, d=64; attention_bf16.py:567-571), causal.
+Target is >= 2.0x, so vs_baseline = speedup / 2.0.
+
+Supporting detail (stderr): bf16-corrected kernel vs SDPA (the reference's
+own headline was 0.90x SDPA on RTX 3080, attention_bf16.py:755), TFLOP/s,
+and accuracy envelopes vs the fp32 oracle.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def median_time(fn, iters=30, warmup=3):
+    for _ in range(warmup):
+        out = fn()
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+    from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd
+    from quantizedattention_tpu.reference import reference_attention
+    from quantizedattention_tpu.utils.testing import mismatch_report
+
+    B, H, T, D = 8, 35, 1024, 64
+    causal = True
+    key = jax.random.key(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, H, T, D), jnp.float32)
+    k = jax.random.normal(kk, (B, H, T, D), jnp.float32)
+    v = jax.random.normal(kv, (B, H, T, D), jnp.float32)
+    q16, k16, v16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    # ---- baseline: XLA's fused SDPA in bf16 (the 1.00x anchor)
+    @jax.jit
+    def sdpa(q_, k_, v_):
+        return jax.nn.dot_product_attention(
+            # dot_product_attention wants [B, T, H, D]
+            q_.transpose(0, 2, 1, 3), k_.transpose(0, 2, 1, 3), v_.transpose(0, 2, 1, 3),
+            is_causal=causal, implementation="xla",
+        )
+
+    t_sdpa = median_time(lambda: sdpa(q16, k16, v16))
+
+    # ---- ours
+    t_bf16 = median_time(
+        lambda: flash_attention_fwd(q16, k16, v16, causal=causal)[0]
+    )
+    t_int8 = median_time(
+        lambda: int8_attention_fwd(q, k, v, causal=causal)[0]
+    )
+
+    # causal attention FLOPs: 2 matmuls * B*H*T*T*D, halved by the mask
+    flops = 2 * 2 * B * H * T * T * D * 0.5
+
+    def tflops(t):
+        return flops / t / 1e12
+
+    log(f"shape=({B},{H},{T},{D}) causal={causal}")
+    log(f"SDPA bf16 (XLA anchor): {t_sdpa*1e3:8.3f} ms  {tflops(t_sdpa):6.1f} TFLOP/s")
+    log(f"bf16 corrected kernel : {t_bf16*1e3:8.3f} ms  {tflops(t_bf16):6.1f} TFLOP/s  "
+        f"{t_sdpa/t_bf16:.2f}x SDPA (reference achieved 0.90x)")
+    log(f"int8 kernel (+quant)  : {t_int8*1e3:8.3f} ms  {tflops(t_int8):6.1f} TFLOP/s  "
+        f"{t_sdpa/t_int8:.2f}x SDPA (target 2.0x)")
+
+    # ---- accuracy spot-check vs fp32 oracle (guard against fast-but-wrong)
+    want = reference_attention(q, k, v, causal=causal)
+    rep_bf16 = mismatch_report("bf16", flash_attention_fwd(q16, k16, v16, causal=causal)[0], want, atol=1e-2)
+    rep_int8 = mismatch_report("int8", int8_attention_fwd(q, k, v, causal=causal)[0], want, atol=5e-2)
+    log(str(rep_bf16) + "  (reference envelope: 915/18350080)")
+    log(str(rep_int8))
+    if rep_bf16.mismatch_rate > 5e-5 or rep_int8.mismatch_rate > 2e-3:
+        log("WARNING: accuracy outside envelope — speedup not claimable")
+
+    speedup = t_sdpa / t_int8
+    print(json.dumps({
+        "metric": "int8_attention_speedup_vs_bf16_sdpa",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / 2.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Model layer: a transformer LM and a flow-matching DiT built on the
+quantized-attention kernels.
+
+The reference is a kernel library with no model layer (SURVEY.md §1); these
+models exist to (a) exercise the kernels exactly the way production training
+and serving would — causal training steps, fwd-mode distillation steps,
+KV-cache decoding — and (b) provide the flagship entry points the benchmark
+and the multi-chip dry-run drive.
+"""
+
+from quantizedattention_tpu.models.transformer import (
+    TransformerConfig,
+    init_transformer,
+    transformer_forward,
+    lm_loss,
+    make_train_step,
+    generate,
+)
+from quantizedattention_tpu.models.dit import (
+    DiTConfig,
+    init_dit,
+    dit_forward,
+    dit_jvp_step,
+)
+from quantizedattention_tpu.models.sharded_train import make_sharded_train_step, param_specs
+
+__all__ = [
+    "TransformerConfig",
+    "init_transformer",
+    "transformer_forward",
+    "lm_loss",
+    "make_train_step",
+    "generate",
+    "DiTConfig",
+    "init_dit",
+    "dit_forward",
+    "dit_jvp_step",
+    "make_sharded_train_step",
+    "param_specs",
+]

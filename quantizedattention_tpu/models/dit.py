@@ -1,0 +1,121 @@
+"""Flow-matching DiT block built on the JVP attention kernel.
+
+The reference's JVP kernel exists for score-regularized continuous-time
+consistency distillation (NVIDIA rCM — attention_jvp.py:1-11): distilling a
+flow-matching diffusion model requires du/dt of the network output along the
+probability-flow ODE, i.e. a forward-mode derivative THROUGH attention.
+`dit_jvp_step` computes (u, du/dt) in one pass, with the attention JVP fused
+by the ops/jvp_fwd kernel via the custom_jvp rule on ops.api.attention_jvp.
+
+The model is a minimal adaLN DiT: timestep-conditioned scale/shift/gate
+around (non-causal) attention + MLP — enough structure to exercise the
+kernel exactly as a diffusion transformer would.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from quantizedattention_tpu.ops.api import attention_jvp
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    d_model: int = 256
+    n_heads: int = 4
+    head_dim: int = 64
+    n_layers: int = 2
+    mlp_ratio: int = 4
+    seq_len: int = 256
+
+
+def _init_linear(key, shape, scale=None):
+    scale = scale if scale is not None else 1.0 / math.sqrt(shape[0])
+    return jax.random.normal(key, shape, jnp.float32) * scale
+
+
+def init_dit(key, cfg: DiTConfig):
+    keys = jax.random.split(key, 3 + cfg.n_layers)
+    params = {
+        "t_mlp1": _init_linear(keys[0], (256, cfg.d_model)),
+        "t_mlp2": _init_linear(keys[1], (cfg.d_model, cfg.d_model)),
+        "out": _init_linear(keys[2], (cfg.d_model, cfg.d_model), scale=0.0),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[3 + i], 7)
+        params["layers"].append(
+            {
+                # adaLN: per-block (shift, scale, gate) x (attn, mlp)
+                "ada": _init_linear(lk[0], (cfg.d_model, 6 * cfg.d_model), scale=0.0),
+                "wq": _init_linear(lk[1], (cfg.d_model, cfg.n_heads * cfg.head_dim)),
+                "wk": _init_linear(lk[2], (cfg.d_model, cfg.n_heads * cfg.head_dim)),
+                "wv": _init_linear(lk[3], (cfg.d_model, cfg.n_heads * cfg.head_dim)),
+                "wo": _init_linear(lk[4], (cfg.n_heads * cfg.head_dim, cfg.d_model)),
+                "w1": _init_linear(lk[5], (cfg.d_model, cfg.d_model * cfg.mlp_ratio)),
+                "w2": _init_linear(lk[6], (cfg.d_model * cfg.mlp_ratio, cfg.d_model)),
+            }
+        )
+    return params
+
+
+def _timestep_embed(t, dim=256):
+    """Sinusoidal embedding of t [B] -> [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _modulate(x, shift, scale):
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _ln(x, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+def dit_forward(params, x, t, cfg: DiTConfig):
+    """x [B, N, D] (patched latents), t [B] — returns the velocity field u."""
+    b, n, d = x.shape
+    temb = jax.nn.silu(_timestep_embed(t) @ params["t_mlp1"]) @ params["t_mlp2"]
+
+    for layer in params["layers"]:
+        ada = jax.nn.silu(temb) @ layer["ada"]
+        sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(ada, 6, axis=-1)
+
+        h = _modulate(_ln(x), sh_a, sc_a)
+        q = (h @ layer["wq"]).reshape(b, n, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = (h @ layer["wk"]).reshape(b, n, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = (h @ layer["wv"]).reshape(b, n, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+        # attention_jvp: fp32 kernel whose fwd-mode rule is the fused JVP kernel
+        o = attention_jvp(q, k, v, causal=False)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_heads * cfg.head_dim)
+        x = x + g_a[:, None, :] * (o @ layer["wo"])
+
+        h = _modulate(_ln(x), sh_m, sc_m)
+        x = x + g_m[:, None, :] * (jax.nn.gelu(h @ layer["w1"]) @ layer["w2"])
+
+    return x @ params["out"] + x  # residual head
+
+
+def dit_jvp_step(params, x_t, t, cfg: DiTConfig, dx_dt=None):
+    """Compute (u, du/dt) along the probability-flow ODE in one fwd pass.
+
+    The tangent direction is (dx/dt, dt/dt=1); if dx_dt is None the model's
+    own velocity is used (the rCM self-consistency direction): first compute
+    u = f(x, t), then push (u, 1) through as the tangent.
+    """
+    if dx_dt is None:
+        dx_dt = dit_forward(params, x_t, t, cfg)
+    return jax.jvp(
+        lambda x_, t_: dit_forward(params, x_, t_, cfg),
+        (x_t, t),
+        (dx_dt, jnp.ones_like(t)),
+    )

@@ -1,0 +1,124 @@
+"""Multi-chip training step: DP x TP x SP over a (data, model, context) mesh.
+
+Megatron-style sharding expressed with shard_map + explicit collectives:
+  * batch on `data` (pure DP, grads psum automatically via transpose);
+  * attention heads and MLP hidden on `model` (TP) — attention itself is
+    communication-free per head, the out/down projections psum partials;
+  * sequence on `context` (SP) — ring attention rotates KV via ppermute,
+    and RoPE positions / loss means account for the shard offset.
+
+The whole loss is one shard_map; jax.value_and_grad differentiates through
+it (ring attention carries its own custom_vjp ring backward). This is the
+step dryrun_multichip compiles against N virtual devices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from quantizedattention_tpu.models.transformer import TransformerConfig, rmsnorm, rope
+from quantizedattention_tpu.parallel.ring import ring_attention
+from quantizedattention_tpu.tune.config import BlockConfig
+
+
+def param_specs(cfg: TransformerConfig):
+    """PartitionSpec tree matching init_transformer's params.
+
+    Head-sharded attention weights and hidden-sharded MLP weights on
+    `model`; everything else replicated.
+    """
+    layer = {
+        "ln1": P(),
+        "wq": P(None, "model"),  # [D, H*hd] — heads on model
+        "wk": P(None, "model"),
+        "wv": P(None, "model"),
+        "wo": P("model", None),  # [H*hd, D] — contraction sharded, psum after
+        "ln2": P(),
+        "w1": P(None, "model"),  # [D, F] — hidden on model
+        "w2": P("model", None),
+    }
+    return {
+        "embed": P(),
+        "unembed": P(),
+        "final_norm": P(),
+        "layers": [dict(layer) for _ in range(cfg.n_layers)],
+    }
+
+
+def _sharded_forward(params, tokens, cfg: TransformerConfig, config: BlockConfig | None):
+    """Per-device forward on local shards: tokens [B_loc, T_loc]."""
+    n_model = jax.lax.axis_size("model")
+    ctx_idx = jax.lax.axis_index("context")
+    b_loc, t_loc = tokens.shape
+    h_loc = cfg.n_heads // n_model
+    positions = ctx_idx * t_loc + jnp.arange(t_loc)
+
+    x = params["embed"][tokens]
+    for layer in params["layers"]:
+        h = rmsnorm(x, layer["ln1"])
+        q = (h @ layer["wq"]).reshape(b_loc, t_loc, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = (h @ layer["wk"]).reshape(b_loc, t_loc, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = (h @ layer["wv"]).reshape(b_loc, t_loc, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = rope(q, positions, cfg.rope_base)
+        k = rope(k, positions, cfg.rope_base)
+        o = ring_attention(q, k, v, "context", causal=True, config=config, kind="bf16")
+        o = o.transpose(0, 2, 1, 3).reshape(b_loc, t_loc, h_loc * cfg.head_dim)
+        # out-projection contracts the model-sharded head dim: psum partials
+        attn_out = jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
+        x = x + attn_out
+        h = rmsnorm(x, layer["ln2"])
+        mlp_out = jax.lax.psum(jax.nn.gelu(h @ layer["w1"]) @ layer["w2"], "model")
+        x = x + mlp_out
+    x = rmsnorm(x, params["final_norm"])
+    return x @ params["unembed"]
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    cfg: TransformerConfig,
+    optimizer=None,
+    attention_config: BlockConfig | None = None,
+):
+    """Returns (optimizer, step) with step: (params, opt_state, tokens,
+    targets) -> (params, opt_state, loss). tokens/targets are global
+    [B, T] arrays laid out P('data', 'context')."""
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adamw(3e-4)
+    if cfg.n_heads % mesh.shape["model"] != 0:
+        raise ValueError("n_heads must divide the model axis")
+    if cfg.n_kv_heads != cfg.n_heads:
+        raise ValueError("sharded step currently requires n_kv_heads == n_heads")
+
+    specs = param_specs(cfg)
+    tok_spec = P("data", "context")
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs, tok_spec, tok_spec),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def sharded_loss(params, tokens, targets):
+        logits = _sharded_forward(params, tokens, cfg, attention_config)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        # global mean: sum over all shards / global token count
+        total = jax.lax.psum(jnp.sum(nll), ("data", "context"))
+        count = jax.lax.psum(nll.size, ("data", "context"))
+        return total / count
+
+    @jax.jit
+    def step(params, opt_state, tokens, targets):
+        loss, grads = jax.value_and_grad(sharded_loss)(params, tokens, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return optimizer, step

@@ -1,0 +1,210 @@
+"""Decoder-only transformer LM on the quantized-attention kernels.
+
+Functional (pytree params, no framework deps): RMSNorm pre-norm blocks, RoPE,
+GQA-ready projections, and a choice of attention path per config:
+  "bf16" — corrected-bf16 flash attention (training default)
+  "int8" — SageAttention3-style int8 attention (fast fine-tuning)
+Decode uses the int8 KV cache (parallel/kv_cache.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from quantizedattention_tpu.ops.api import flash_attention_bf16, sage_attention_int8
+from quantizedattention_tpu.parallel.kv_cache import (
+    append_kv,
+    decode_attention,
+    init_kv_cache,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 512
+    d_model: int = 256
+    n_heads: int = 4
+    n_kv_heads: int = 4
+    head_dim: int = 64
+    n_layers: int = 2
+    mlp_ratio: int = 4
+    max_seq: int = 512
+    attention: str = "bf16"  # "bf16" | "int8"
+    rope_base: float = 10000.0
+
+    @property
+    def mlp_dim(self) -> int:
+        return self.d_model * self.mlp_ratio
+
+
+def _init_linear(key, shape, scale=None):
+    fan_in = shape[0] if len(shape) == 2 else int(jnp.prod(jnp.asarray(shape[:-1])))
+    scale = scale if scale is not None else 1.0 / math.sqrt(fan_in)
+    return jax.random.normal(key, shape, jnp.float32) * scale
+
+
+def init_transformer(key, cfg: TransformerConfig):
+    keys = jax.random.split(key, 2 + cfg.n_layers)
+    params = {
+        "embed": jax.random.normal(keys[0], (cfg.vocab_size, cfg.d_model), jnp.float32) * 0.02,
+        "unembed": _init_linear(keys[1], (cfg.d_model, cfg.vocab_size)),
+        "final_norm": jnp.ones((cfg.d_model,), jnp.float32),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[2 + i], 6)
+        params["layers"].append(
+            {
+                "ln1": jnp.ones((cfg.d_model,), jnp.float32),
+                "wq": _init_linear(lk[0], (cfg.d_model, cfg.n_heads * cfg.head_dim)),
+                "wk": _init_linear(lk[1], (cfg.d_model, cfg.n_kv_heads * cfg.head_dim)),
+                "wv": _init_linear(lk[2], (cfg.d_model, cfg.n_kv_heads * cfg.head_dim)),
+                "wo": _init_linear(lk[3], (cfg.n_heads * cfg.head_dim, cfg.d_model)),
+                "ln2": jnp.ones((cfg.d_model,), jnp.float32),
+                "w1": _init_linear(lk[4], (cfg.d_model, cfg.mlp_dim)),
+                "w2": _init_linear(lk[5], (cfg.mlp_dim, cfg.d_model)),
+            }
+        )
+    return params
+
+
+def rmsnorm(x, scale, eps=1e-6):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps) * scale).astype(x.dtype)
+
+
+def rope(x, positions, base: float):
+    """Rotary embedding on [..., tokens, head_dim]; positions [tokens]."""
+    d = x.shape[-1]
+    freqs = base ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [t, d/2]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
+
+
+def _attention(q, k, v, cfg: TransformerConfig, attention_fn=None):
+    """Dispatch to the configured kernel; GQA repeats kv heads for training."""
+    if cfg.n_kv_heads != cfg.n_heads:
+        rep = cfg.n_heads // cfg.n_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    if attention_fn is not None:
+        return attention_fn(q, k, v)
+    if cfg.attention == "int8":
+        return sage_attention_int8(q, k, v, causal=True)
+    return flash_attention_bf16(q, k, v, causal=True)
+
+
+def _project_qkv(layer, x, cfg: TransformerConfig, positions):
+    b, t, _ = x.shape
+    q = (x @ layer["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = (x @ layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = (x @ layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = rope(q, positions, cfg.rope_base)
+    k = rope(k, positions, cfg.rope_base)
+    return q, k, v
+
+
+def _block(layer, x, cfg: TransformerConfig, positions, attention_fn=None):
+    h = rmsnorm(x, layer["ln1"])
+    q, k, v = _project_qkv(layer, h, cfg, positions)
+    o = _attention(q, k, v, cfg, attention_fn)
+    b, _, t, _ = o.shape
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
+    x = x + (o.astype(x.dtype) @ layer["wo"])
+    h = rmsnorm(x, layer["ln2"])
+    x = x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
+    return x
+
+
+def transformer_forward(params, tokens, cfg: TransformerConfig, attention_fn=None):
+    """tokens [B, T] int32 -> logits [B, T, vocab] f32."""
+    positions = jnp.arange(tokens.shape[1])
+    x = params["embed"][tokens]
+    for layer in params["layers"]:
+        x = _block(layer, x, cfg, positions, attention_fn)
+    x = rmsnorm(x, params["final_norm"])
+    return x @ params["unembed"]
+
+
+def lm_loss(params, tokens, targets, cfg: TransformerConfig):
+    """Mean next-token cross entropy; targets are pre-shifted labels."""
+    logits = transformer_forward(params, tokens, cfg)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def make_train_step(cfg: TransformerConfig, optimizer=None):
+    """Jitted (params, opt_state, tokens, targets) -> (params, opt_state, loss)."""
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adamw(3e-4)
+
+    @jax.jit
+    def step(params, opt_state, tokens, targets):
+        loss, grads = jax.value_and_grad(lm_loss)(params, tokens, targets, cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return optimizer, step
+
+
+# --------------------------------------------------------------------------
+# KV-cache decoding (int8 cache, GQA decode kernel)
+# --------------------------------------------------------------------------
+
+def _decode_block(layer, x, cfg: TransformerConfig, cache, position):
+    """One token [B, 1, D] through a block, updating this layer's cache."""
+    h = rmsnorm(x, layer["ln1"])
+    q, k, v = _project_qkv(layer, h, cfg, position)
+    cache = append_kv(cache, k, v)
+    o = decode_attention(q[:, :, 0, :], cache)  # [B, n_heads, d]
+    o = o.reshape(x.shape[0], 1, cfg.n_heads * cfg.head_dim)
+    x = x + (o.astype(x.dtype) @ layer["wo"])
+    h = rmsnorm(x, layer["ln2"])
+    x = x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
+    return x, cache
+
+
+def generate(params, prompt, cfg: TransformerConfig, max_new_tokens: int = 16):
+    """Greedy decoding with the int8 KV cache.
+
+    prompt: [B, T0] int32. Prefill streams the prompt through the cached
+    decode path token-by-token (correct, not yet fused); returns
+    [B, T0 + max_new_tokens].
+    """
+    b = prompt.shape[0]
+    caches = [
+        init_kv_cache(b, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+        for _ in params["layers"]
+    ]
+    tokens = prompt
+
+    def step_one(tok, pos, caches):
+        x = params["embed"][tok][:, None, :]
+        new_caches = []
+        for layer, cache in zip(params["layers"], caches):
+            x, cache = _decode_block(layer, x, cfg, cache, jnp.array([pos]))
+            new_caches.append(cache)
+        x = rmsnorm(x, params["final_norm"])
+        logits = x @ params["unembed"]
+        return jnp.argmax(logits[:, 0], axis=-1), new_caches
+
+    next_tok = None
+    for pos in range(prompt.shape[1]):
+        next_tok, caches = step_one(tokens[:, pos], pos, caches)
+    for pos in range(prompt.shape[1], prompt.shape[1] + max_new_tokens):
+        tokens = jnp.concatenate([tokens, next_tok[:, None]], axis=1)
+        if pos < prompt.shape[1] + max_new_tokens - 1:
+            next_tok, caches = step_one(tokens[:, pos], pos, caches)
+    return tokens
