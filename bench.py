@@ -25,18 +25,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def median_time(fn, iters=30, warmup=3):
-    for _ in range(warmup):
-        out = fn()
-    jax.block_until_ready(out)
+def chained_time(step_fn, q, k, v, n_chain=20, reps=5):
+    """Per-call seconds, measured by chaining n_chain data-dependent calls
+    inside one jit (step output feeds the next step's q), so the device is
+    forced to serialize real work — immune to async-dispatch timing lies.
+    step_fn: (q, k, v) -> array of q's shape/dtype.
+    """
+
+    @jax.jit
+    def chained(q_, k_, v_):
+        out = jax.lax.fori_loop(0, n_chain, lambda i, acc: step_fn(acc, k_, v_), q_)
+        # reduce to a scalar so the host-side fetch below forces execution
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(chained(q, k, v))  # warmup/compile
     times = []
-    for _ in range(iters):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        # float() fetches the scalar to the host — on this remote-execution
+        # relay, block_until_ready alone does NOT force the device work
+        float(chained(q, k, v))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2]
+    return times[len(times) // 2] / n_chain
 
 
 def main():
@@ -55,23 +66,23 @@ def main():
     q16, k16, v16 = (x.astype(jnp.bfloat16) for x in (q, k, v))
 
     # ---- baseline: XLA's fused SDPA in bf16 (the 1.00x anchor)
-    @jax.jit
-    def sdpa(q_, k_, v_):
-        return jax.nn.dot_product_attention(
+    def sdpa_step(q_, k_, v_):
+        o = jax.nn.dot_product_attention(
             # dot_product_attention wants [B, T, H, D]
             q_.transpose(0, 2, 1, 3), k_.transpose(0, 2, 1, 3), v_.transpose(0, 2, 1, 3),
             is_causal=causal, implementation="xla",
         )
+        return o.transpose(0, 2, 1, 3).astype(q_.dtype)
 
-    t_sdpa = median_time(lambda: sdpa(q16, k16, v16))
+    def bf16_step(q_, k_, v_):
+        return flash_attention_fwd(q_, k_, v_, causal=causal)[0].astype(q_.dtype)
 
-    # ---- ours
-    t_bf16 = median_time(
-        lambda: flash_attention_fwd(q16, k16, v16, causal=causal)[0]
-    )
-    t_int8 = median_time(
-        lambda: int8_attention_fwd(q, k, v, causal=causal)[0]
-    )
+    def int8_step(q_, k_, v_):
+        return int8_attention_fwd(q_, k_, v_, causal=causal)[0]
+
+    t_sdpa = chained_time(sdpa_step, q16, k16, v16)
+    t_bf16 = chained_time(bf16_step, q16, k16, v16)
+    t_int8 = chained_time(int8_step, q, k, v)
 
     # causal attention FLOPs: 2 matmuls * B*H*T*T*D, halved by the mask
     flops = 2 * 2 * B * H * T * T * D * 0.5
@@ -79,7 +90,8 @@ def main():
     def tflops(t):
         return flops / t / 1e12
 
-    log(f"shape=({B},{H},{T},{D}) causal={causal}")
+    log(f"shape=({B},{H},{T},{D}) causal={causal}  "
+        f"(v5e peak ~197 TFLOP/s bf16 / ~394 TOP/s int8 — flag anything above)")
     log(f"SDPA bf16 (XLA anchor): {t_sdpa*1e3:8.3f} ms  {tflops(t_sdpa):6.1f} TFLOP/s")
     log(f"bf16 corrected kernel : {t_bf16*1e3:8.3f} ms  {tflops(t_bf16):6.1f} TFLOP/s  "
         f"{t_sdpa/t_bf16:.2f}x SDPA (reference achieved 0.90x)")
