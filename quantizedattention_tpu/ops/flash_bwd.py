@@ -33,20 +33,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quantizedattention_tpu.ops.common import pad_tokens, qk_scales, tile_mask
+from quantizedattention_tpu.ops.common import MASK_VALUE, pad_tokens, qk_scales, tile_mask
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
 
 _LANES = 128
 
 
-def _recompute_p(q, k, lse, mask, qk_scale, precision):
-    """P = exp2(qk_scale·QKᵀ − lse), masked to 0 outside the valid region."""
+def _recompute_p(q_scaled, k, lse, qk_scale, precision, causal, kv_padded,
+                 q_start, k_start, k_local, block_q, block_kv, kv_len):
+    """P = exp2(S_scaled − lse) recomputed on the MXU.
+
+    q arrives pre-scaled by qk_scale, so no per-tile scale pass is needed;
+    masking runs only on tiles the diagonal / kv padding crosses, and masked
+    logits (MASK_VALUE) underflow to exactly 0 through exp2 since lse is
+    finite — no second zeroing pass.
+    """
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=precision
+        q_scaled, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     )
-    p = jnp.exp2(s * qk_scale - lse)
-    return jnp.where(mask, p, 0.0)
+
+    if causal or kv_padded:
+        mask = tile_mask(
+            q_start, k_start, block_q, block_kv, kv_len, causal,
+            k_local_start=k_local,
+        )
+        s = jnp.where(mask, s, MASK_VALUE)
+    return jnp.exp2(s - lse)
 
 
 def _dkv_kernel(
@@ -66,31 +80,32 @@ def _dkv_kernel(
     q_start = qoff_ref[0] + qi * block_q
     k_start = koff_ref[0] + k_local
 
+    kv_padded = kv_len % block_kv != 0
+
     def _body():
-        q = q_ref[0]
+        q = q_ref[0]      # pre-scaled by qk_scale
         k = k_ref[0]
         v = v_ref[0]
-        do = do_ref[0]
+        do = do_ref[0]    # pre-scaled by sm_scale
         lse = lse_ref[0][:, :1]
-        di = di_ref[0][:, :1]
+        di = di_ref[0][:, :1]  # rowsum(do_scaled * o) = sm_scale * D
 
-        mask = tile_mask(
-            q_start, k_start, block_q, block_kv, kv_len, causal, k_local_start=k_local
-        )
-        p = _recompute_p(q, k, lse, mask, qk_scale, precision)  # [bq, bkv]
+        p = _recompute_p(q, k, lse, qk_scale, precision, causal, kv_padded,
+                         q_start, k_start, k_local, block_q, block_kv, kv_len)
 
-        # dV += Pᵀ dO  (contract over q)
+        # dV += Pᵀ dO_scaled  (contract over q; /sm_scale at the epilogue)
         dv_scr[...] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
-        # dP = dO Vᵀ  (contract over head_dim)
+        # dP_scaled = dO_scaled Vᵀ  (contract over head_dim)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
-        ds = p * (dp - di) * sm_scale
-        # dK += dSᵀ Q  (contract over q)
+        # sm_scale already folded into dp and di
+        ds = p * (dp - di)
+        # dK += dSᵀ Q_scaled  (contract over q; /qk_scale at the epilogue)
         dk_scr[...] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
@@ -103,8 +118,9 @@ def _dkv_kernel(
 
     @pl.when(qi == num_q_blocks - 1)
     def _epilogue():
-        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+        # undo the folded input scales (tiny [block_kv, d] passes)
+        dk_ref[0] = (dk_scr[...] * (1.0 / qk_scale)).astype(dk_ref.dtype)
+        dv_ref[0] = (dv_scr[...] * (1.0 / sm_scale)).astype(dv_ref.dtype)
 
 
 def _dq_kernel(
@@ -123,24 +139,24 @@ def _dq_kernel(
     q_start = qoff_ref[0] + qi * block_q
     k_start = koff_ref[0] + k_local
 
+    kv_padded = kv_len % block_kv != 0
+
     def _body():
-        q = q_ref[0]
+        q = q_ref[0]      # pre-scaled by qk_scale
         k = k_ref[0]
         v = v_ref[0]
-        do = do_ref[0]
+        do = do_ref[0]    # pre-scaled by sm_scale
         lse = lse_ref[0][:, :1]
         di = di_ref[0][:, :1]
 
-        mask = tile_mask(
-            q_start, k_start, block_q, block_kv, kv_len, causal, k_local_start=k_local
-        )
-        p = _recompute_p(q, k, lse, mask, qk_scale, precision)
+        p = _recompute_p(q, k, lse, qk_scale, precision, causal, kv_padded,
+                         q_start, k_start, k_local, block_q, block_kv, kv_len)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
-        ds = p * (dp - di) * sm_scale
-        # dQ += dS K  (contract over kv)
+        ds = p * (dp - di)  # sm_scale folded into dp/di
+        # dQ += dS K  (contract over kv; K unscaled, so dq needs no fixup)
         dq_scr[...] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
@@ -193,10 +209,12 @@ def flash_attention_bwd(
 
     bh = batch * head
     f32 = jnp.float32
-    q3 = pad_tokens(q.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
+    # fold the logit scale into Q and the gradient scale into dO once here
+    # (saves two full [bq, bkv] VPU passes per tile; un-folded at epilogues)
+    q3 = pad_tokens((q.astype(f32) * qk_scale).reshape(bh, q_tokens, head_dim), block_q, 1)
     k3 = pad_tokens(k.astype(f32).reshape(bh, kv_len, head_dim), block_kv, 1)
     v3 = pad_tokens(v.astype(f32).reshape(bh, kv_len, head_dim), block_kv, 1)
-    do3 = pad_tokens(do.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
+    do3 = pad_tokens((do.astype(f32) * sm_scale).reshape(bh, q_tokens, head_dim), block_q, 1)
     o3 = pad_tokens(o.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
 
     # D = rowsum(dO ∘ O), shared by both passes (the reference recomputes it

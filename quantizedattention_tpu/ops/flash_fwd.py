@@ -82,10 +82,20 @@ def _fwd_kernel(
         jax.lax.Precision.HIGHEST if p_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )
 
+    # VPU economy: q arrives pre-scaled by qk_scale (one [t,d] pass outside
+    # instead of a [bq,bkv] pass per tile), masking runs only on tiles the
+    # diagonal or kv padding actually crosses (lax.cond on a traced
+    # predicate), and masked entries are NOT re-zeroed after exp2 — a row
+    # whose running max is still MASK_VALUE gets wiped exactly when its first
+    # real tile arrives, because alpha = exp2(MASK_VALUE - m_real)
+    # underflows to 0 (and causal block-skip guarantees every live row
+    # eventually sees a real tile).
+    kv_padded = kv_len % block_kv != 0
+
     def _body():
         q = q_ref[0]
         k = k_ref[0]
-        # S = Q Kᵀ on the MXU, f32 accumulation.
+        # S = (Q·qk_scale) Kᵀ on the MXU, f32 accumulation.
         s = jax.lax.dot_general(
             q,
             k,
@@ -93,12 +103,13 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=dot_precision,
         )
-        s = s * qk_scale
 
-        mask = tile_mask(
-            q_start, k_start, block_q, block_kv, kv_len, causal, k_local_start=k_local
-        )
-        s = jnp.where(mask, s, MASK_VALUE)
+        if causal or kv_padded:
+            mask = tile_mask(
+                q_start, k_start, block_q, block_kv, kv_len, causal,
+                k_local_start=k_local,
+            )
+            s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_scr[...][:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -108,8 +119,7 @@ def _fwd_kernel(
             # lands strictly below 1.0 (reference: attention_bf16.py:241-264).
             next_m = amplify_tied_max(s, next_m, beta=beta, tol=tol)
 
-        p = jnp.exp2(s - next_m)
-        p = jnp.where(mask, p, 0.0).astype(p_dtype)
+        p = jnp.exp2(s - next_m).astype(p_dtype)
 
         alpha = jnp.exp2(m_prev - next_m)
         # l sums the *rounded* P (what actually enters the PV matmul), so the
@@ -197,7 +207,10 @@ def flash_attention_fwd(
 
     _, qk_scale = qk_scales(head_dim, sm_scale)
 
-    q3 = pad_tokens(q.astype(compute_dtype).reshape(batch * head, q_tokens, head_dim), block_q, 1)
+    # pre-scale Q in f32 so the kernel's logits arrive already in the exp2
+    # domain (saves one full [bq, bkv] VPU pass per tile)
+    q_scaled = q.astype(jnp.float32) * qk_scale
+    q3 = pad_tokens(q_scaled.astype(compute_dtype).reshape(batch * head, q_tokens, head_dim), block_q, 1)
     k3 = pad_tokens(k.astype(compute_dtype).reshape(batch * head, kv_len, head_dim), block_kv, 1)
     v3 = pad_tokens(v.astype(compute_dtype).reshape(batch * head, kv_len, head_dim), block_kv, 1)
 

@@ -68,6 +68,8 @@ def _int8_fwd_kernel(
     q_start = qi * block_q
     k_start = kj * block_kv
 
+    kv_padded = kv_len % block_kv != 0
+
     def _body():
         sq = sq_ref[b, qi]
         sk = sk_ref[b, kj]
@@ -78,23 +80,30 @@ def _int8_fwd_kernel(
         # (the reference notes the same at attention_int8.py:200-202)
         s = qk_i32.astype(jnp.float32) * (sq * sk * qk_scale)
 
-        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
-        s = jnp.where(mask, s, MASK_VALUE)
+        # masked logits underflow to 0 through exp2; junk rows self-heal via
+        # alpha underflow (see flash_fwd), so one where-pass suffices
+        if causal or kv_padded:
+            mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+            s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_scr[...][:, :1]
         row_max = jnp.max(s, axis=-1, keepdims=True)
         next_m = jnp.maximum(m_prev, row_max)
 
-        p = jnp.exp2(s - next_m)
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp2(m_prev - next_m)
-        l_next = l_scr[...][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-
-        # Per-q-row P quantization: sp = exp2(rowmax(S) − m)/127 bounds every
-        # P entry by 127·sp exactly (attention_int8.py:227-237).
+        # Per-q-row P quantization fused into the exp2: with
+        # sp = exp2(rowmax − m)/127 (attention_int8.py:227-237),
+        # P/sp = exp2(s − rowmax + log2 127) — ONE exp2 pass produces the
+        # int8 payload directly, and l is summed from the dequantized int8 P
+        # (consistent with what the PV matmul actually accumulates).
+        log2_127 = 6.9886369
+        p_i8 = jnp.clip(
+            jnp.round(jnp.exp2(s - row_max + log2_127)), 0.0, 127.0
+        ).astype(jnp.int8)
         sp = jnp.exp2(row_max - next_m) / 127.0
-        sp_safe = jnp.maximum(sp, 1e-37)
-        p_i8 = jnp.clip(jnp.round(p / sp_safe), 0.0, 127.0).astype(jnp.int8)
+
+        alpha = jnp.exp2(m_prev - next_m)
+        l_cur = jnp.sum(p_i8.astype(jnp.float32), axis=-1, keepdims=True) * sp
+        l_next = l_scr[...][:, :1] * alpha + l_cur
 
         pv_i32 = _int8_dot(p_i8, v_ref[0], ((1,), (0,)))
         acc_scr[...] = acc_scr[...] * alpha + pv_i32.astype(jnp.float32) * (sp * sv)
