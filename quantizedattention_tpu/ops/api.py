@@ -44,21 +44,21 @@ from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_bf16(q, k, v, causal, sm_scale, config, corrected):
+def _flash_attention_bf16(q, k, v, causal, sm_scale, config, correction):
     o, _ = flash_attention_fwd(
-        q, k, v, causal=causal, sm_scale=sm_scale, config=config, corrected=corrected
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, correction=correction
     )
     return o
 
 
-def _bf16_fwd(q, k, v, causal, sm_scale, config, corrected):
+def _bf16_fwd(q, k, v, causal, sm_scale, config, correction):
     o, lse = flash_attention_fwd(
-        q, k, v, causal=causal, sm_scale=sm_scale, config=config, corrected=corrected
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, correction=correction
     )
     return o, (q, k, v, o, lse)
 
 
-def _bf16_bwd(causal, sm_scale, config, corrected, res, do):
+def _bf16_bwd(causal, sm_scale, config, correction, res, do):
     q, k, v, o, lse = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do, causal=causal, sm_scale=sm_scale, config=config
@@ -76,16 +76,18 @@ def flash_attention_bf16(
     causal: bool = False,
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
-    corrected: bool = True,
+    correction: str = "eps",
 ) -> jnp.ndarray:
     """Corrected-bf16 flash attention, differentiable (fp32 backward).
 
     q/k/v: [batch, head, tokens, head_dim]. Returns O in f32 — the public
     wrapper drops lse exactly like the reference (attention_bf16.py:101-105).
+    correction: "eps" (zero-cost ulp bias, default), "beta" (reference
+    rule), or "none".
     """
     if config is None:
         config = default_block_config("bf16", q.shape[2], k.shape[2])
-    return _flash_attention_bf16(q, k, v, causal, sm_scale, config, corrected)
+    return _flash_attention_bf16(q, k, v, causal, sm_scale, config, correction)
 
 
 # --------------------------------------------------------------------------

@@ -32,7 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from quantizedattention_tpu.ops.common import MASK_VALUE, pad_tokens, qk_scales, tile_mask
-from quantizedattention_tpu.quantize.bf16_correction import APPROX_MAX_TOL, BETA, amplify_tied_max
+from quantizedattention_tpu.quantize.bf16_correction import (
+    APPROX_MAX_TOL,
+    BETA,
+    EPS_BIAS,
+    amplify_tied_max,
+)
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
 
@@ -58,7 +63,7 @@ def _fwd_kernel(
     block_q: int,
     block_kv: int,
     p_dtype,
-    corrected: bool,
+    correction: str,
     beta: float,
     tol: float,
 ):
@@ -113,10 +118,15 @@ def _fwd_kernel(
 
         m_prev = m_scr[...][:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
+        if correction == "eps":
+            # zero-cost rule: bias the row max by one bf16 ulp so every P
+            # entry lands strictly below 1.0 (exact-math invariant — any
+            # per-row max bias cancels in the normalization)
+            m_cur = m_cur + EPS_BIAS
         next_m = jnp.maximum(m_prev, m_cur)
-        if corrected:
-            # arXiv:2510.04212: amplify tied maxima so every bf16 P entry
-            # lands strictly below 1.0 (reference: attention_bf16.py:241-264).
+        if correction == "beta":
+            # reference-parity rule (arXiv:2510.04212): amplify tied maxima
+            # (attention_bf16.py:241-264) — costs two full-tile VPU passes
             next_m = amplify_tied_max(s, next_m, beta=beta, tol=tol)
 
         p = jnp.exp2(s - next_m).astype(p_dtype)
@@ -163,7 +173,7 @@ def _fwd_kernel(
         "sm_scale",
         "config",
         "precision",
-        "corrected",
+        "correction",
         "beta",
         "tol",
         "interpret",
@@ -177,7 +187,7 @@ def flash_attention_fwd(
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
     precision: str = "bf16",
-    corrected: bool = True,
+    correction: str = "eps",
     beta: float = BETA,
     tol: float = APPROX_MAX_TOL,
     interpret: bool | None = None,
@@ -188,6 +198,8 @@ def flash_attention_fwd(
 
     precision: "bf16" rounds P to bf16 for the MXU (the reference's training
     path); "fp32" keeps everything f32 (oracle-grade, used by the JVP family).
+    correction: "eps" (zero-cost ulp bias, default), "beta" (the reference's
+    tied-max amplification rule), or "none".
     Returns (O f32, lse f32 [b, h, q_tokens]).
     """
     if interpret is None:
@@ -231,7 +243,7 @@ def flash_attention_fwd(
         block_q=block_q,
         block_kv=block_kv,
         p_dtype=p_dtype,
-        corrected=corrected,
+        correction=correction,
         beta=beta,
         tol=tol,
     )

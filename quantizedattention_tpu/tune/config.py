@@ -53,12 +53,16 @@ class BlockConfig:
         )
 
 
-# Pinned defaults per kernel family (v5e-friendly; retuned via tune.autotune).
+# Pinned defaults per kernel family, tuned on TPU v5e at the canonical
+# (8, 35, 1024, 64) shape (see tune.autotune to re-sweep): large tiles win —
+# attention at d=64 is VPU-bound and per-grid-step overhead dominates small
+# tiles. The analogue of the reference's recorded best RTX3080 config
+# (attention_bf16.py:734-748).
 _DEFAULTS = {
-    "bf16": BlockConfig(block_q=256, block_kv=512, block_q_bwd=256, block_kv_bwd=256),
-    "int8": BlockConfig(block_q=256, block_kv=256, block_q_bwd=128, block_kv_bwd=128),
-    "jvp": BlockConfig(block_q=256, block_kv=256),
-    "fp32": BlockConfig(block_q=128, block_kv=256, block_q_bwd=128, block_kv_bwd=128),
+    "bf16": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=512, block_kv_bwd=512),
+    "int8": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=512, block_kv_bwd=512),
+    "jvp": BlockConfig(block_q=512, block_kv=1024),
+    "fp32": BlockConfig(block_q=256, block_kv=512, block_q_bwd=512, block_kv_bwd=512),
 }
 
 

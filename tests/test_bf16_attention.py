@@ -88,7 +88,7 @@ def test_correction_engages_on_tied_logits(rng):
     k_half = jax.random.normal(kk, (1, 1, 64, 64)) * 4.0
     k = jnp.concatenate([k_half, k_half], axis=2)  # exact duplicate keys -> ties
     v = jax.random.normal(kv, (1, 1, 128, 64))
-    o, _ = flash_attention_fwd(q, k, v, corrected=True)
+    o, _ = flash_attention_fwd(q, k, v, correction="beta")
     want = reference_attention(q, k, v)
     rep = mismatch_report("tied-max corrected", o, want, atol=1e-2)
     assert not bool(jnp.any(jnp.isnan(o)))

@@ -70,3 +70,15 @@ def test_amplify_tied_max():
     s = jnp.array([[5.0, 3.0, 1.0]])
     m = jnp.array([[5.0]])
     assert float(amplify_tied_max(s, m)[0, 0]) == 5.0
+
+
+def test_eps_bias_keeps_bf16_p_below_one():
+    """The zero-cost "eps" rule's guarantee: exp2(-EPS_BIAS) rounds to a bf16
+    value strictly below 1.0, so no un-normalized P entry can hit 1.0."""
+    from quantizedattention_tpu.quantize.bf16_correction import EPS_BIAS
+
+    p_max = jnp.exp2(jnp.float32(-EPS_BIAS)).astype(jnp.bfloat16)
+    assert float(p_max) < 1.0
+    # and a tied logit 1e-3 below the max stays below 1.0 too
+    p_tied = jnp.exp2(jnp.float32(-EPS_BIAS - 1e-3)).astype(jnp.bfloat16)
+    assert float(p_tied) < 1.0
