@@ -62,6 +62,7 @@ def _fwd_kernel(
     num_kv_blocks: int,
     block_q: int,
     block_kv: int,
+    block_sub: int,
     p_dtype,
     correction: str,
     beta: float,
@@ -97,64 +98,74 @@ def _fwd_kernel(
     # eventually sees a real tile).
     kv_padded = kv_len % block_kv != 0
 
-    def _body():
-        q = q_ref[0]
-        k = k_ref[0]
-        # S = (Q·qk_scale) Kᵀ on the MXU, f32 accumulation.
-        s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision,
-        )
+    # Two-level kv tiling: the grid/DMA block is block_kv wide, compute runs
+    # per block_sub-wide subtile so causal skipping prunes above-diagonal
+    # subtiles without shrinking the (overhead-amortizing) DMA blocks.
+    def _subtile(j):
+        sub_local = k_local + j * block_sub
+        sub_start = k_start + j * block_sub
 
-        if causal or kv_padded:
-            mask = tile_mask(
-                q_start, k_start, block_q, block_kv, kv_len, causal,
-                k_local_start=k_local,
+        def _sub_body():
+            q = q_ref[0]
+            k = k_ref[0, pl.ds(j * block_sub, block_sub), :]
+            # S = (Q·qk_scale) Kᵀ on the MXU, f32 accumulation.
+            s = jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision,
             )
-            s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_scr[...][:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        if correction == "eps":
-            # zero-cost rule: bias the row max by one bf16 ulp so every P
-            # entry lands strictly below 1.0 (exact-math invariant — any
-            # per-row max bias cancels in the normalization)
-            m_cur = m_cur + EPS_BIAS
-        next_m = jnp.maximum(m_prev, m_cur)
-        if correction == "beta":
-            # reference-parity rule (arXiv:2510.04212): amplify tied maxima
-            # (attention_bf16.py:241-264) — costs two full-tile VPU passes
-            next_m = amplify_tied_max(s, next_m, beta=beta, tol=tol)
+            if causal or kv_padded:
+                mask = tile_mask(
+                    q_start, sub_start, block_q, block_sub, kv_len, causal,
+                    k_local_start=sub_local,
+                )
+                s = jnp.where(mask, s, MASK_VALUE)
 
-        p = jnp.exp2(s - next_m).astype(p_dtype)
+            m_prev = m_scr[...][:, :1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            if correction == "eps":
+                # zero-cost rule: bias the row max by one bf16 ulp so every P
+                # entry lands strictly below 1.0 (exact-math invariant — any
+                # per-row max bias cancels in the normalization)
+                m_cur = m_cur + EPS_BIAS
+            next_m = jnp.maximum(m_prev, m_cur)
+            if correction == "beta":
+                # reference-parity rule (arXiv:2510.04212): amplify tied
+                # maxima (attention_bf16.py:241-264) — two full-tile passes
+                next_m = amplify_tied_max(s, next_m, beta=beta, tol=tol)
 
-        alpha = jnp.exp2(m_prev - next_m)
-        # l sums the *rounded* P (what actually enters the PV matmul), so the
-        # epilogue normalization matches the accumulated mass
-        # (reference: attention_bf16.py:274).
-        l_cur = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-        l_next = l_scr[...][:, :1] * alpha + l_cur
+            p = jnp.exp2(s - next_m).astype(p_dtype)
 
-        v = v_ref[0]
-        pv = jax.lax.dot_general(
-            p,
-            v.astype(p_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+            alpha = jnp.exp2(m_prev - next_m)
+            # l sums the *rounded* P (what actually enters the PV matmul), so
+            # the epilogue normalization matches the accumulated mass
+            # (reference: attention_bf16.py:274).
+            l_cur = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            l_next = l_scr[...][:, :1] * alpha + l_cur
 
-    if causal:
-        # Skip kv blocks entirely above the diagonal.
-        pl.when(q_start + block_q - 1 >= k_start)(_body)
-    else:
-        _body()
+            v = v_ref[0, pl.ds(j * block_sub, block_sub), :]
+            pv = jax.lax.dot_general(
+                p,
+                v.astype(p_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision,
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv
+            m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        if causal:
+            # Skip subtiles entirely above the diagonal.
+            pl.when(q_start + block_q - 1 >= sub_start)(_sub_body)
+        else:
+            _sub_body()
+
+    for j in range(block_kv // block_sub):
+        _subtile(j)
 
     @pl.when(kj == num_kv_blocks - 1)
     def _epilogue():
@@ -242,6 +253,7 @@ def flash_attention_fwd(
         num_kv_blocks=num_kv_blocks,
         block_q=block_q,
         block_kv=block_kv,
+        block_sub=min(config.kv_compute, block_kv),
         p_dtype=p_dtype,
         correction=correction,
         beta=beta,

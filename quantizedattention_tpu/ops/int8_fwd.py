@@ -53,7 +53,7 @@ def _int8_fwd_kernel(
     q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv,
+    *, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv, block_sub,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(1)
@@ -70,51 +70,61 @@ def _int8_fwd_kernel(
 
     kv_padded = kv_len % block_kv != 0
 
-    def _body():
-        sq = sq_ref[b, qi]
-        sk = sk_ref[b, kj]
-        sv = sv_ref[b, kj]
+    # Two-level kv tiling (see flash_fwd): DMA at block_kv, compute and
+    # causal-skip at block_sub granularity. One scale per DMA block (the
+    # quantization granularity) covers all of its subtiles.
+    def _subtile(j):
+        sub_start = k_start + j * block_sub
 
-        qk_i32 = _int8_dot(q_ref[0], k_ref[0], ((1,), (1,)))
-        # dequantize straight to f32 — fp16 intermediates would overflow
-        # (the reference notes the same at attention_int8.py:200-202)
-        s = qk_i32.astype(jnp.float32) * (sq * sk * qk_scale)
+        def _sub_body():
+            sq = sq_ref[b, qi]
+            sk = sk_ref[b, kj]
+            sv = sv_ref[b, kj]
 
-        # masked logits underflow to 0 through exp2; junk rows self-heal via
-        # alpha underflow (see flash_fwd), so one where-pass suffices
-        if causal or kv_padded:
-            mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
-            s = jnp.where(mask, s, MASK_VALUE)
+            k_sub = k_ref[0, pl.ds(j * block_sub, block_sub), :]
+            qk_i32 = _int8_dot(q_ref[0], k_sub, ((1,), (1,)))
+            # dequantize straight to f32 — fp16 intermediates would overflow
+            # (the reference notes the same at attention_int8.py:200-202)
+            s = qk_i32.astype(jnp.float32) * (sq * sk * qk_scale)
 
-        m_prev = m_scr[...][:, :1]
-        row_max = jnp.max(s, axis=-1, keepdims=True)
-        next_m = jnp.maximum(m_prev, row_max)
+            # masked logits underflow to 0 through exp2; junk rows self-heal
+            # via alpha underflow (see flash_fwd), one where-pass suffices
+            if causal or kv_padded:
+                mask = tile_mask(q_start, sub_start, block_q, block_sub, kv_len, causal)
+                s = jnp.where(mask, s, MASK_VALUE)
 
-        # Per-q-row P quantization fused into the exp2: with
-        # sp = exp2(rowmax − m)/127 (attention_int8.py:227-237),
-        # P/sp = exp2(s − rowmax + log2 127) — ONE exp2 pass produces the
-        # int8 payload directly, and l is summed from the dequantized int8 P
-        # (consistent with what the PV matmul actually accumulates).
-        log2_127 = 6.9886369
-        p_i8 = jnp.clip(
-            jnp.round(jnp.exp2(s - row_max + log2_127)), 0.0, 127.0
-        ).astype(jnp.int8)
-        sp = jnp.exp2(row_max - next_m) / 127.0
+            m_prev = m_scr[...][:, :1]
+            row_max = jnp.max(s, axis=-1, keepdims=True)
+            next_m = jnp.maximum(m_prev, row_max)
 
-        alpha = jnp.exp2(m_prev - next_m)
-        l_cur = jnp.sum(p_i8.astype(jnp.float32), axis=-1, keepdims=True) * sp
-        l_next = l_scr[...][:, :1] * alpha + l_cur
+            # Per-q-row P quantization fused into the exp2: with
+            # sp = exp2(rowmax − m)/127 (attention_int8.py:227-237),
+            # P/sp = exp2(s − rowmax + log2 127) — ONE exp2 pass produces the
+            # int8 payload directly (+0.5-truncate = round-half-up; the max
+            # is exactly 127.0, which stays 127 after +0.5 truncation), and l
+            # sums the dequantized int8 P — consistent with the PV matmuls.
+            log2_127 = 6.9886369
+            p_i8 = (jnp.exp2(s - row_max + log2_127) + 0.5).astype(jnp.int8)
+            sp = jnp.exp2(row_max - next_m) / 127.0
 
-        pv_i32 = _int8_dot(p_i8, v_ref[0], ((1,), (0,)))
-        acc_scr[...] = acc_scr[...] * alpha + pv_i32.astype(jnp.float32) * (sp * sv)
+            alpha = jnp.exp2(m_prev - next_m)
+            l_cur = jnp.sum(p_i8.astype(jnp.float32), axis=-1, keepdims=True) * sp
+            l_next = l_scr[...][:, :1] * alpha + l_cur
 
-        m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+            v_sub = v_ref[0, pl.ds(j * block_sub, block_sub), :]
+            pv_i32 = _int8_dot(p_i8, v_sub, ((1,), (0,)))
+            acc_scr[...] = acc_scr[...] * alpha + pv_i32.astype(jnp.float32) * (sp * sv)
 
-    if causal:
-        pl.when(q_start + block_q - 1 >= k_start)(_body)
-    else:
-        _body()
+            m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        if causal:
+            pl.when(q_start + block_q - 1 >= sub_start)(_sub_body)
+        else:
+            _sub_body()
+
+    for j in range(block_kv // block_sub):
+        _subtile(j)
 
     @pl.when(kj == num_kv_blocks - 1)
     def _epilogue():
@@ -212,6 +222,7 @@ def int8_attention_fwd_from_quantized(
         num_kv_blocks=num_kv_blocks,
         block_q=block_q,
         block_kv=block_kv,
+        block_sub=min(config.kv_compute, block_kv),
     )
 
     sq_f32 = sq.astype(jnp.float32)

@@ -32,12 +32,27 @@ class BlockConfig:
     block_kv: int = 256
     block_q_bwd: int = 128
     block_kv_bwd: int = 128
+    # inner compute granularity along kv (the two-level tiling of the JAX
+    # flash-attention reference): the grid/DMA block is block_kv wide, but
+    # compute runs in block_kv_compute-wide subtiles so causal skipping can
+    # prune above-diagonal work without shrinking the DMA blocks. 0 = same
+    # as block_kv (single level).
+    block_kv_compute: int = 256
 
     def __post_init__(self):
         for name in ("block_q", "block_kv", "block_q_bwd", "block_kv_bwd"):
             val = getattr(self, name)
             if val % 128 != 0:
                 raise ValueError(f"{name}={val} must be a multiple of 128 (TPU lane width)")
+        if self.block_kv_compute:
+            if self.block_kv_compute % 128 != 0:
+                raise ValueError("block_kv_compute must be a multiple of 128")
+            if self.block_kv % self.block_kv_compute != 0:
+                raise ValueError("block_kv_compute must divide block_kv")
+
+    @property
+    def kv_compute(self) -> int:
+        return self.block_kv_compute or self.block_kv
 
     def clamp(self, q_tokens: int, kv_tokens: int) -> "BlockConfig":
         """Shrink blocks to fit short sequences (never below 128)."""
@@ -45,11 +60,20 @@ class BlockConfig:
         def fit(block: int, tokens: int) -> int:
             return max(128, min(block, ((tokens + 127) // 128) * 128))
 
+        block_kv = fit(self.block_kv, kv_tokens)
+        # largest 128-multiple divisor of block_kv not above the requested
+        # compute granularity
+        want = min(self.block_kv_compute or block_kv, block_kv)
+        compute = 128
+        for cand in range(128, want + 1, 128):
+            if block_kv % cand == 0:
+                compute = cand
         return BlockConfig(
             block_q=fit(self.block_q, q_tokens),
-            block_kv=fit(self.block_kv, kv_tokens),
+            block_kv=block_kv,
             block_q_bwd=fit(self.block_q_bwd, q_tokens),
             block_kv_bwd=fit(self.block_kv_bwd, kv_tokens),
+            block_kv_compute=compute,
         )
 
 
