@@ -36,8 +36,10 @@ class BlockConfig:
     # flash-attention reference): the grid/DMA block is block_kv wide, but
     # compute runs in block_kv_compute-wide subtiles so causal skipping can
     # prune above-diagonal work without shrinking the DMA blocks. 0 = same
-    # as block_kv (single level).
-    block_kv_compute: int = 256
+    # as block_kv (single level — the measured v5e optimum: the MXU prefers
+    # wide N and the online-softmax subtile chain serializes, so finer
+    # subtiles lost more than causal skipping saved at seq 1024).
+    block_kv_compute: int = 0
 
     def __post_init__(self):
         for name in ("block_q", "block_kv", "block_q_bwd", "block_kv_bwd"):
