@@ -17,6 +17,7 @@ device). The TPU build scales the same kernels across a pod slice:
 from quantizedattention_tpu.parallel.mesh import make_attention_mesh
 from quantizedattention_tpu.parallel.sharded import make_sharded_attention
 from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_attention
+from quantizedattention_tpu.parallel.ulysses import ulysses_attention, make_ulysses_attention
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
     init_kv_cache,
@@ -29,6 +30,8 @@ __all__ = [
     "make_sharded_attention",
     "ring_attention",
     "make_ring_attention",
+    "ulysses_attention",
+    "make_ulysses_attention",
     "QuantizedKVCache",
     "init_kv_cache",
     "append_kv",

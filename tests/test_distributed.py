@@ -103,3 +103,36 @@ def test_ring_attention_differentiable(rng, causal):
     for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
         rep = mismatch_report(f"ring {nm}", g, w, atol=1e-2)
         assert rep.mismatch_rate <= 3.5e-4, rep
+
+
+@pytest.mark.parametrize("kind,causal,atol", [
+    ("bf16", True, 1e-2),
+    ("int8", False, 5e-2),
+])
+def test_ulysses_attention(rng, kind, causal, atol):
+    """All-to-all head<->seq swap == unsharded oracle (heads % devices == 0)."""
+    from quantizedattention_tpu.parallel import make_ulysses_attention
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, _ = make_qkv(rng, batch=1, head=8, q_tokens=512)
+    fn = make_ulysses_attention(mesh, kind=kind, causal=causal)
+    o = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    rep = mismatch_report(f"ulysses {kind}", o, want, atol=atol)
+    assert rep.mismatch_rate <= 2e-3, rep
+
+
+def test_ulysses_differentiable(rng):
+    from quantizedattention_tpu.parallel import make_ulysses_attention
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    q, k, v, do = make_qkv(rng, batch=1, head=4, q_tokens=512)
+    fn = make_ulysses_attention(mesh, kind="bf16", causal=True)
+    dq, dk, dv = jax.grad(
+        lambda a, b, c: jnp.sum(fn(a, b, c) * do), argnums=(0, 1, 2)
+    )(q, k, v)
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=True)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rep = mismatch_report(f"ulysses {nm}", g, w, atol=1e-2)
+        assert rep.mismatch_rate <= 3.5e-4, rep
