@@ -1,0 +1,141 @@
+// Continuous-batching scheduler for the quantizedattention_tpu serving
+// engine (C ABI, loaded via ctypes — no pybind11 in this environment).
+//
+// The reference (selau642/QuantizedAttention) has no serving layer at all;
+// this is the native runtime half of the north-star's "continuous batching
+// across hosts": the Python engine owns the JAX/TPU compute (prefill /
+// batched decode steps), while admission, slot allocation and completion
+// bookkeeping live here, off the Python hot path.
+//
+// Policy: FCFS admission with a capacity check (prompt_len + max_new_tokens
+// must fit the slot's KV capacity). Prefill is preferred over decode
+// whenever a request is waiting and a slot is free, so the decode batch
+// stays as full as possible (the standard continuous-batching rule: join
+// between decode steps, leave on completion).
+
+#include <cstdint>
+#include <deque>
+#include <vector>
+
+namespace {
+
+struct Request {
+  int32_t id;
+  int32_t prompt_len;
+  int32_t max_new_tokens;
+};
+
+struct Slot {
+  int32_t request_id = -1;  // -1 == free
+  int32_t generated = 0;
+  int32_t max_new_tokens = 0;
+};
+
+struct Scheduler {
+  int32_t n_slots;
+  int32_t max_len;
+  std::vector<Slot> slots;
+  std::deque<Request> waiting;
+  int64_t completed = 0;
+  int64_t rejected = 0;
+
+  explicit Scheduler(int32_t n, int32_t cap) : n_slots(n), max_len(cap), slots(n) {}
+
+  int free_slot() const {
+    for (int i = 0; i < n_slots; ++i)
+      if (slots[i].request_id < 0) return i;
+    return -1;
+  }
+
+  int num_active() const {
+    int n = 0;
+    for (const auto& s : slots) n += (s.request_id >= 0);
+    return n;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Action codes returned by qa_sched_next.
+enum { QA_IDLE = 0, QA_PREFILL = 1, QA_DECODE = 2 };
+
+void* qa_sched_create(int32_t n_slots, int32_t max_len) {
+  if (n_slots <= 0 || max_len <= 0) return nullptr;
+  return new Scheduler(n_slots, max_len);
+}
+
+void qa_sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }
+
+// Enqueue a request. Returns 0 on success, -1 if it can never fit a slot
+// (prompt + generation budget exceeds KV capacity) — the caller should
+// surface that to the client instead of letting it pend forever.
+int32_t qa_sched_submit(void* h, int32_t request_id, int32_t prompt_len,
+                        int32_t max_new_tokens) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (prompt_len <= 0 || max_new_tokens <= 0 ||
+      prompt_len + max_new_tokens > s->max_len) {
+    s->rejected++;
+    return -1;
+  }
+  s->waiting.push_back({request_id, prompt_len, max_new_tokens});
+  return 0;
+}
+
+// Decide the engine's next action.
+//   QA_PREFILL: *out_req / *out_slot name the admitted request and its slot
+//               (the slot is committed to the request as of this call).
+//   QA_DECODE : at least one active slot; run one batched decode step.
+//   QA_IDLE   : nothing waiting, nothing active.
+int32_t qa_sched_next(void* h, int32_t* out_req, int32_t* out_slot) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (!s->waiting.empty()) {
+    int slot = s->free_slot();
+    if (slot >= 0) {
+      Request r = s->waiting.front();
+      s->waiting.pop_front();
+      s->slots[slot] = {r.id, 0, r.max_new_tokens};
+      if (out_req) *out_req = r.id;
+      if (out_slot) *out_slot = slot;
+      return QA_PREFILL;
+    }
+  }
+  if (s->num_active() > 0) return QA_DECODE;
+  return QA_IDLE;
+}
+
+// Report one generated token for a slot (the prefill's first token counts).
+// Returns 1 if the request just finished (EOS or budget) and the slot was
+// freed, else 0; -1 on a free/invalid slot.
+int32_t qa_sched_report_token(void* h, int32_t slot, int32_t is_eos) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (slot < 0 || slot >= s->n_slots || s->slots[slot].request_id < 0) return -1;
+  Slot& sl = s->slots[slot];
+  sl.generated++;
+  if (is_eos || sl.generated >= sl.max_new_tokens) {
+    sl = Slot{};
+    s->completed++;
+    return 1;
+  }
+  return 0;
+}
+
+int32_t qa_sched_num_active(void* h) { return static_cast<Scheduler*>(h)->num_active(); }
+
+int32_t qa_sched_num_waiting(void* h) {
+  return static_cast<int32_t>(static_cast<Scheduler*>(h)->waiting.size());
+}
+
+int64_t qa_sched_num_completed(void* h) { return static_cast<Scheduler*>(h)->completed; }
+
+int64_t qa_sched_num_rejected(void* h) { return static_cast<Scheduler*>(h)->rejected; }
+
+// Request currently owning `slot`, or -1 if the slot is free.
+int32_t qa_sched_slot_request(void* h, int32_t slot) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (slot < 0 || slot >= s->n_slots) return -1;
+  return s->slots[slot].request_id;
+}
+
+}  // extern "C"

@@ -15,6 +15,8 @@ from quantizedattention_tpu.models.transformer import (
     lm_loss,
     make_train_step,
     generate,
+    prefill_slot,
+    decode_step_batched,
 )
 from quantizedattention_tpu.models.dit import (
     DiTConfig,
@@ -31,6 +33,8 @@ __all__ = [
     "lm_loss",
     "make_train_step",
     "generate",
+    "prefill_slot",
+    "decode_step_batched",
     "DiTConfig",
     "init_dit",
     "dit_forward",

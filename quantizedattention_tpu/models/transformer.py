@@ -21,6 +21,7 @@ from quantizedattention_tpu.parallel.kv_cache import (
     append_kv,
     decode_attention,
     init_kv_cache,
+    write_kv_slot,
 )
 
 
@@ -79,10 +80,17 @@ def rmsnorm(x, scale, eps=1e-6):
 
 
 def rope(x, positions, base: float):
-    """Rotary embedding on [..., tokens, head_dim]; positions [tokens]."""
+    """Rotary embedding on [b, h, tokens, head_dim].
+
+    positions: [tokens] (shared across the batch) or [b, tokens] (per-row,
+    the continuous-batching decode case where every slot sits at a
+    different sequence position).
+    """
     d = x.shape[-1]
     freqs = base ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
-    angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [t, d/2]
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [..., t, d/2]
+    if angles.ndim == 3:  # [b, t, d/2] -> broadcast over the head axis
+        angles = angles[:, None]
     cos, sin = jnp.cos(angles), jnp.sin(angles)
     x1, x2 = x[..., 0::2], x[..., 1::2]
     out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
@@ -163,48 +171,103 @@ def make_train_step(cfg: TransformerConfig, optimizer=None):
 # KV-cache decoding (int8 cache, GQA decode kernel)
 # --------------------------------------------------------------------------
 
-def _decode_block(layer, x, cfg: TransformerConfig, cache, position):
-    """One token [B, 1, D] through a block, updating this layer's cache."""
-    h = rmsnorm(x, layer["ln1"])
-    q, k, v = _project_qkv(layer, h, cfg, position)
-    cache = append_kv(cache, k, v)
-    o = decode_attention(q[:, :, 0, :], cache)  # [B, n_heads, d]
-    o = o.reshape(x.shape[0], 1, cfg.n_heads * cfg.head_dim)
-    x = x + (o.astype(x.dtype) @ layer["wo"])
+def _mlp_residual(layer, x):
     h = rmsnorm(x, layer["ln2"])
-    x = x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
-    return x, cache
+    return x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
+
+
+def decode_step_batched(params, caches, last_tok, pos, active, cfg: TransformerConfig):
+    """One continuous-batching decode step over all cache slots at once.
+
+    last_tok/pos/active: [n_slots] — every slot sits at its own sequence
+    position (per-row RoPE); inactive slots ride along but never advance
+    their cache (append_kv active mask). Returns (next_tok [n_slots], caches).
+    """
+    x = params["embed"][last_tok][:, None, :]
+    positions = pos[:, None]  # [n_slots, 1]
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln1"])
+        q, k, v = _project_qkv(layer, h, cfg, positions)
+        cache = append_kv(cache, k, v, active=active)
+        o = decode_attention(q[:, :, 0, :], cache)  # GQA-native
+        o = o.reshape(x.shape[0], 1, cfg.n_heads * cfg.head_dim)
+        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"])
+    logits = x[:, 0] @ params["unembed"]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
+
+
+def prefill_slot(params, caches, tokens, true_len, slot, cfg: TransformerConfig):
+    """Fused prefill of one request into cache row `slot`.
+
+    tokens: [t_pad] int32 prompt, right-padded to a bucket size so jit
+    recompiles only per bucket; true_len: scalar real prompt length. Runs the
+    whole prompt through the causal flash kernel in ONE pass (the reference
+    has no serving path at all; `generate`'s token-by-token prefill is the
+    naive fallback), installs the unrepeated K/V into the slot, and returns
+    (first generated token [scalar], caches). Padding tokens sit to the
+    RIGHT, so causal masking keeps them out of every real row's softmax, and
+    write_kv_slot sets length = true_len so decode never sees them.
+    """
+    x = params["embed"][tokens][None]  # [1, t_pad, d_model]
+    positions = jnp.arange(tokens.shape[0])
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln1"])
+        q, k, v = _project_qkv(layer, h, cfg, positions)
+        cache = write_kv_slot(cache, slot, k[0], v[0], true_len)
+        o = _attention(q, k, v, cfg)
+        o = o.transpose(0, 2, 1, 3).reshape(1, -1, cfg.n_heads * cfg.head_dim)
+        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"])
+    logits = x[0, true_len - 1] @ params["unembed"]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
+
+
+def prefill_batched(params, caches, prompt, cfg: TransformerConfig):
+    """Fused prefill of a same-length batch: prompt [B, T0] through the
+    causal flash kernel in one pass, K/V quantize-appended to every cache
+    row (all rows must be at length 0). Returns (next_tok [B], caches)."""
+    positions = jnp.arange(prompt.shape[1])
+    x = params["embed"][prompt]
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln1"])
+        q, k, v = _project_qkv(layer, h, cfg, positions)
+        cache = append_kv(cache, k, v)
+        o = _attention(q, k, v, cfg)
+        o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, cfg.n_heads * cfg.head_dim)
+        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"])
+    logits = x[:, -1] @ params["unembed"]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
 
 
 def generate(params, prompt, cfg: TransformerConfig, max_new_tokens: int = 16):
-    """Greedy decoding with the int8 KV cache.
+    """Greedy decoding with the int8 KV cache: one fused prefill pass over
+    the whole prompt, then batched single-token decode steps — the same
+    numerics as the continuous-batching engine (serve/engine.py).
 
-    prompt: [B, T0] int32. Prefill streams the prompt through the cached
-    decode path token-by-token (correct, not yet fused); returns
-    [B, T0 + max_new_tokens].
+    prompt: [B, T0] int32; returns [B, T0 + max_new_tokens].
     """
-    b = prompt.shape[0]
+    b, t0 = prompt.shape
     caches = [
         init_kv_cache(b, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
         for _ in params["layers"]
     ]
+    next_tok, caches = jax.jit(prefill_batched, static_argnames="cfg")(
+        params, caches, prompt, cfg
+    )
+    decode = jax.jit(decode_step_batched, static_argnames="cfg")
     tokens = prompt
-
-    def step_one(tok, pos, caches):
-        x = params["embed"][tok][:, None, :]
-        new_caches = []
-        for layer, cache in zip(params["layers"], caches):
-            x, cache = _decode_block(layer, x, cfg, cache, jnp.array([pos]))
-            new_caches.append(cache)
-        x = rmsnorm(x, params["final_norm"])
-        logits = x @ params["unembed"]
-        return jnp.argmax(logits[:, 0], axis=-1), new_caches
-
-    next_tok = None
-    for pos in range(prompt.shape[1]):
-        next_tok, caches = step_one(tokens[:, pos], pos, caches)
-    for pos in range(prompt.shape[1], prompt.shape[1] + max_new_tokens):
+    active = jnp.ones((b,), bool)
+    for i in range(max_new_tokens):
         tokens = jnp.concatenate([tokens, next_tok[:, None]], axis=1)
-        if pos < prompt.shape[1] + max_new_tokens - 1:
-            next_tok, caches = step_one(tokens[:, pos], pos, caches)
+        if i < max_new_tokens - 1:
+            pos = jnp.full((b,), t0 + i, jnp.int32)
+            next_tok, caches = decode(params, caches, next_tok, pos, active, cfg)
     return tokens

@@ -62,9 +62,21 @@ def _row_quant(x):
     return x_i8, s.astype(jnp.float32)
 
 
-@jax.jit
-def append_kv(cache: QuantizedKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray) -> QuantizedKVCache:
-    """Quantize and append [b, h_kv, t_new, d] keys/values at each row's length."""
+@functools.partial(jax.jit, static_argnames=())
+def append_kv(
+    cache: QuantizedKVCache,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    active: jnp.ndarray | None = None,
+) -> QuantizedKVCache:
+    """Quantize and append [b, h_kv, t_new, d] keys/values at each row's length.
+
+    active: optional [b] bool — rows where it is False do not advance
+    `length` (continuous batching: idle slots ride along in the batched
+    decode step without corrupting their cache; their masked write lands at
+    the stale `length` position, which is past the row's logical end and
+    invisible to the length-masked decode kernel).
+    """
     k_i8, sk = _row_quant(k_new.astype(jnp.float32))
     v_i8, sv = _row_quant(v_new.astype(jnp.float32))
 
@@ -73,12 +85,46 @@ def append_kv(cache: QuantizedKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray) -
         return jax.lax.dynamic_update_slice(buf, val, (0, pos, 0))
 
     t_new = k_new.shape[2]
+    adv = t_new if active is None else t_new * active.astype(jnp.int32)
     return QuantizedKVCache(
         k_i8=jax.vmap(upd)(cache.k_i8, k_i8, cache.length),
         sk=jax.vmap(upd)(cache.sk, sk, cache.length),
         v_i8=jax.vmap(upd)(cache.v_i8, v_i8, cache.length),
         sv=jax.vmap(upd)(cache.sv, sv, cache.length),
-        length=cache.length + t_new,
+        length=cache.length + adv,
+    )
+
+
+def write_kv_slot(
+    cache: QuantizedKVCache,
+    slot: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    true_len: jnp.ndarray,
+) -> QuantizedKVCache:
+    """Fused-prefill write: quantize [h_kv, t, d] K/V and install them at
+    batch row `slot`, resetting the row's length to `true_len` (<= t; the
+    tail beyond true_len is prompt padding, masked out by the decode kernel).
+    """
+    k_i8, sk = _row_quant(k_new.astype(jnp.float32))
+    v_i8, sv = _row_quant(v_new.astype(jnp.float32))
+
+    def put(buf, val):
+        return jax.lax.dynamic_update_slice(buf, val[None], (slot, 0, 0, 0))
+
+    # pad/trim the time axis to the cache's max_len before installing
+    def fit(val):
+        t = val.shape[1]
+        if t < cache.max_len:
+            val = jnp.pad(val, ((0, 0), (0, cache.max_len - t), (0, 0)))
+        return val[:, : cache.max_len]
+
+    return QuantizedKVCache(
+        k_i8=put(cache.k_i8, fit(k_i8)),
+        sk=put(cache.sk, fit(sk)),
+        v_i8=put(cache.v_i8, fit(v_i8)),
+        sv=put(cache.sv, fit(sv)),
+        length=cache.length.at[slot].set(true_len.astype(jnp.int32)),
     )
 
 

@@ -1,0 +1,242 @@
+"""Serving layer: continuous batching, native scheduler, sharded decode.
+
+Correctness anchors:
+  * scheduler: the native C++ core must match the pure-Python twin
+    action-for-action on randomized workloads (differential test);
+  * engine: continuous-batching output for every request must equal the
+    sequential `generate` path (same params, same greedy decoding) — slots
+    joining/leaving mid-flight must not perturb other slots;
+  * sharded decode: the multi-chip step (slots on data, heads on model)
+    must produce the same tokens as the single-device engine step.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedattention_tpu.models import (
+    TransformerConfig,
+    generate,
+    init_transformer,
+)
+from quantizedattention_tpu.serve import (
+    PyScheduler,
+    ServingEngine,
+    make_scheduler,
+    make_sharded_decode_step,
+)
+from quantizedattention_tpu.serve.scheduler import DECODE, IDLE, PREFILL, NativeScheduler
+
+
+def small_cfg(**kw):
+    defaults = dict(
+        vocab_size=64, d_model=64, n_heads=2, n_kv_heads=2, head_dim=64,
+        n_layers=2, max_seq=128, attention="bf16",
+    )
+    defaults.update(kw)
+    return TransformerConfig(**defaults)
+
+
+# ---------------------------------------------------------------------------
+# Scheduler: native vs Python twin
+# ---------------------------------------------------------------------------
+
+def _native_or_skip(n_slots, max_len):
+    try:
+        return NativeScheduler(n_slots, max_len)
+    except Exception as e:  # no g++ in env
+        pytest.skip(f"native scheduler unavailable: {e}")
+
+
+def test_scheduler_basic_lifecycle():
+    for sched in (PyScheduler(2, 64), _native_or_skip(2, 64)):
+        assert sched.next_action()[0] == IDLE
+        assert sched.submit(0, prompt_len=8, max_new_tokens=2)
+        act, rid, slot = sched.next_action()
+        assert (act, rid) == (PREFILL, 0) and slot in (0, 1)
+        assert sched.num_active == 1
+        assert not sched.report_token(slot, False)  # 1/2 tokens
+        assert sched.next_action()[0] == DECODE
+        assert sched.report_token(slot, False)  # budget reached -> finished
+        assert sched.num_active == 0 and sched.num_completed == 1
+        assert sched.next_action()[0] == IDLE
+
+
+def test_scheduler_rejects_oversized():
+    for sched in (PyScheduler(2, 32), _native_or_skip(2, 32)):
+        assert not sched.submit(0, prompt_len=30, max_new_tokens=10)
+        assert sched.submit(1, prompt_len=16, max_new_tokens=16)
+
+
+def test_scheduler_eos_frees_slot_early():
+    for sched in (PyScheduler(1, 64), _native_or_skip(1, 64)):
+        assert sched.submit(7, 4, 50)
+        _, rid, slot = sched.next_action()
+        assert rid == 7
+        assert sched.report_token(slot, True)  # EOS on first token
+        assert sched.num_active == 0
+
+
+def test_scheduler_native_matches_python_differential():
+    """Randomized workload: identical action traces from both cores."""
+    nat = _native_or_skip(3, 64)
+    py = PyScheduler(3, 64)
+    rng = random.Random(0)
+    next_id = 0
+    for _ in range(500):
+        if rng.random() < 0.3:
+            plen = rng.randint(1, 40)
+            mnt = rng.randint(1, 40)
+            assert nat.submit(next_id, plen, mnt) == py.submit(next_id, plen, mnt)
+            next_id += 1
+        a_n = nat.next_action()
+        a_p = py.next_action()
+        assert a_n == a_p, f"diverged: native={a_n} python={a_p}"
+        act, _rid, slot = a_n
+        if act == PREFILL:
+            assert nat.report_token(slot, False) == py.report_token(slot, False)
+        elif act == DECODE:
+            # report a token on every active slot, EOS with prob 0.1
+            for s in range(3):
+                if py.slot_request(s) >= 0:
+                    assert nat.slot_request(s) == py.slot_request(s)
+                    eos = rng.random() < 0.1
+                    assert nat.report_token(s, eos) == py.report_token(s, eos)
+        assert (nat.num_active, nat.num_waiting, nat.num_completed) == (
+            py.num_active, py.num_waiting, py.num_completed,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Engine: continuous batching == sequential generate
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = small_cfg()
+    params = init_transformer(jax.random.key(0), cfg)
+    return params, cfg
+
+
+def test_engine_single_request_matches_generate(lm):
+    params, cfg = lm
+    prompt = [3, 14, 15, 9, 2, 6]
+    n_new = 6
+    want = generate(params, jnp.asarray([prompt], jnp.int32), cfg, max_new_tokens=n_new)
+    eng = ServingEngine(params, cfg, n_slots=2, scheduler="python")
+    rid = eng.submit(prompt, max_new_tokens=n_new)
+    results = eng.run()
+    got = results[rid]
+    assert got.finish_reason == "length"
+    assert got.tokens == [int(t) for t in np.asarray(want[0, len(prompt):])]
+
+
+def test_engine_continuous_batching_matches_sequential(lm):
+    """More requests than slots, different lengths/budgets: every request's
+    tokens must match its own single-request generate run."""
+    params, cfg = lm
+    prompts = [
+        [1, 2, 3],
+        [10, 20, 30, 40, 50, 60, 7],
+        [5] * 12,
+        [63, 0, 42, 17],
+        [9, 8, 7, 6, 5, 4, 3, 2, 1],
+    ]
+    budgets = [4, 7, 3, 6, 5]
+    eng = ServingEngine(params, cfg, n_slots=2, scheduler="native")
+    rids = [eng.submit(p, b) for p, b in zip(prompts, budgets)]
+    results = eng.run()
+    assert len(results) == len(prompts)
+    for rid, p, b in zip(rids, prompts, budgets):
+        want = generate(params, jnp.asarray([p], jnp.int32), cfg, max_new_tokens=b)
+        want_tokens = [int(t) for t in np.asarray(want[0, len(p):])]
+        assert results[rid].tokens == want_tokens, f"request {rid} diverged"
+
+
+def test_engine_eos_stops_early(lm):
+    params, cfg = lm
+    prompt = [1, 2, 3, 4]
+    # find what the model actually generates, then use its 2nd token as EOS
+    ref = generate(params, jnp.asarray([prompt], jnp.int32), cfg, max_new_tokens=4)
+    ref_tokens = [int(t) for t in np.asarray(ref[0, len(prompt):])]
+    eos = ref_tokens[1]
+    eng = ServingEngine(params, cfg, n_slots=1, eos_id=eos, scheduler="python")
+    rid = eng.submit(prompt, max_new_tokens=10)
+    res = eng.run()[rid]
+    assert res.finish_reason == "eos"
+    assert res.tokens == ref_tokens[: ref_tokens.index(eos) + 1]
+
+
+def test_engine_rejects_oversized_request(lm):
+    params, cfg = lm
+    eng = ServingEngine(params, cfg, n_slots=1, scheduler="python")
+    with pytest.raises(ValueError, match="rejected"):
+        eng.submit(list(range(cfg.max_seq)), max_new_tokens=8)
+
+
+def test_engine_late_submit_joins_running_batch(lm):
+    """A request submitted while another is mid-decode joins without
+    corrupting it (the core continuous-batching property)."""
+    params, cfg = lm
+    p1, p2 = [4, 8, 15, 16], [23, 42]
+    b1, b2 = 8, 4
+    eng = ServingEngine(params, cfg, n_slots=2, scheduler="python")
+    r1 = eng.submit(p1, b1)
+    for _ in range(3):  # prefill r1 + a couple of decode steps
+        assert eng.step()
+    r2 = eng.submit(p2, b2)
+    results = eng.run()
+    for rid, p, b in ((r1, p1, b1), (r2, p2, b2)):
+        want = generate(params, jnp.asarray([p], jnp.int32), cfg, max_new_tokens=b)
+        assert results[rid].tokens == [int(t) for t in np.asarray(want[0, len(p):])]
+
+
+# ---------------------------------------------------------------------------
+# Sharded decode step (slots on data, heads on model)
+# ---------------------------------------------------------------------------
+
+def test_sharded_decode_matches_local():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    from quantizedattention_tpu.parallel import make_attention_mesh
+    from quantizedattention_tpu.serve.engine import serving_shardings
+
+    cfg = small_cfg(n_heads=4, n_kv_heads=4)
+    params = init_transformer(jax.random.key(1), cfg)
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+
+    # boot engine state by prefilling two requests locally
+    eng = ServingEngine(params, cfg, n_slots=4, scheduler="python")
+    eng.submit([1, 2, 3, 4, 5], 8)
+    eng.submit([7, 6], 8)
+    assert eng.step() and eng.step()  # two prefills
+
+    from quantizedattention_tpu.models import decode_step_batched
+
+    local_tok, local_caches = jax.jit(decode_step_batched, static_argnames="cfg")(
+        params, eng.caches, eng.last_tok, eng.pos, eng.active, cfg
+    )
+
+    step = make_sharded_decode_step(mesh, cfg)
+    pshard, cshard, vshard = serving_shardings(mesh, cfg)
+    params_s = jax.device_put(params, pshard)
+    caches_s = jax.device_put(eng.caches, cshard)
+    lt = jax.device_put(eng.last_tok, vshard)
+    po = jax.device_put(eng.pos, vshard)
+    ac = jax.device_put(eng.active, vshard)
+    shard_tok, shard_caches = step(params_s, caches_s, lt, po, ac)
+
+    np.testing.assert_array_equal(np.asarray(local_tok), np.asarray(shard_tok))
+    for lc, sc in zip(local_caches, shard_caches):
+        np.testing.assert_array_equal(np.asarray(lc.length), np.asarray(sc.length))
+        np.testing.assert_allclose(
+            np.asarray(lc.k_i8, np.int32), np.asarray(sc.k_i8, np.int32), atol=1
+        )
+
+
+def test_make_scheduler_fallback():
+    s = make_scheduler(2, 64, prefer_native=False)
+    assert isinstance(s, PyScheduler)
