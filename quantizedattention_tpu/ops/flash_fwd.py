@@ -118,6 +118,10 @@ def _fwd_kernel(
             )
 
             if causal or kv_padded:
+                # Unconditional select: masking only diagonal-crossing tiles
+                # via lax.cond was measured SLOWER (7.2 vs 4.9 ms at seq
+                # 4096) — Mosaic's scf.if breaks the tile pipeline, while the
+                # iota/compare/select chain vectorizes into the exp2 pass.
                 mask = tile_mask(
                     q_start, sub_start, block_q, block_sub, kv_len, causal,
                     k_local_start=sub_local,
@@ -143,7 +147,7 @@ def _fwd_kernel(
             # l sums the *rounded* P (what actually enters the PV matmul), so
             # the epilogue normalization matches the accumulated mass
             # (reference: attention_bf16.py:274).
-            l_cur = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
             l_next = l_scr[...][:, :1] * alpha + l_cur
 
             v = v_ref[0, pl.ds(j * block_sub, block_sub), :]
