@@ -89,9 +89,8 @@ def _fwd_kernel(
     )
 
     # VPU economy: q arrives pre-scaled by qk_scale (one [t,d] pass outside
-    # instead of a [bq,bkv] pass per tile), masking runs only on tiles the
-    # diagonal or kv padding actually crosses (lax.cond on a traced
-    # predicate), and masked entries are NOT re-zeroed after exp2 — a row
+    # instead of a [bq,bkv] pass per tile), and masked entries are NOT
+    # re-zeroed after exp2 — a row
     # whose running max is still MASK_VALUE gets wiped exactly when its first
     # real tile arrives, because alpha = exp2(MASK_VALUE - m_real)
     # underflows to 0 (and causal block-skip guarantees every live row

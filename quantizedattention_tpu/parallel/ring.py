@@ -140,6 +140,7 @@ def _ring_bf16_bwd(axis_name, causal, sm_scale, config, res, do):
             return flash_attention_bwd(
                 q, k_b, v_b, o, lse, do, causal=causal, sm_scale=sm_scale,
                 config=config, q_offset=q_off, k_offset=src * t_local,
+                fast=True,  # bf16-rate MXU, f32 accumulation (see ops.api)
             )
 
         if causal and step > 0:

@@ -85,9 +85,16 @@ class BlockConfig:
 # tiles. The analogue of the reference's recorded best RTX3080 config
 # (attention_bf16.py:734-748).
 _DEFAULTS = {
-    "bf16": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=512, block_kv_bwd=512),
+    # bwd blocks tuned for the fast (bf16-rate MXU) backward: (1024, 1024)
+    # measured 7.1 ms vs 8.0 at (512, 512) on v5e at seq 2048. The exact-f32
+    # backward ("fp32" kind below) keeps smaller blocks — HIGHEST-precision
+    # passes overflow vmem at 1024².
+    "bf16": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=1024, block_kv_bwd=1024),
     "int8": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=512, block_kv_bwd=512),
-    "jvp": BlockConfig(block_q=512, block_kv=1024),
+    # jvp carries six accumulators; block_q=512 with double-buffered kv=1024
+    # overflows the 16M scoped-vmem limit at seq>=4096 (measured on v5e) —
+    # (256, 1024) fits and is the measured optimum there (10.4 TFLOP/s f32).
+    "jvp": BlockConfig(block_q=256, block_kv=1024),
     "fp32": BlockConfig(block_q=256, block_kv=512, block_q_bwd=512, block_kv_bwd=512),
 }
 
