@@ -176,7 +176,19 @@ def _mlp_residual(layer, x):
     return x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
 
 
-def decode_step_batched(params, caches, last_tok, pos, active, cfg: TransformerConfig):
+def sample_token(logits, temperature: float = 0.0, key=None):
+    """Greedy (temperature 0) or temperature-scaled categorical sampling."""
+    if temperature == 0.0 or key is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(key, logits.astype(jnp.float32) / temperature).astype(
+        jnp.int32
+    )
+
+
+def decode_step_batched(
+    params, caches, last_tok, pos, active, cfg: TransformerConfig,
+    temperature: float = 0.0, key=None,
+):
     """One continuous-batching decode step over all cache slots at once.
 
     last_tok/pos/active: [n_slots] — every slot sits at its own sequence
@@ -196,10 +208,13 @@ def decode_step_batched(params, caches, last_tok, pos, active, cfg: TransformerC
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
     logits = x[:, 0] @ params["unembed"]
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
+    return sample_token(logits, temperature, key), new_caches
 
 
-def prefill_slot(params, caches, tokens, true_len, slot, cfg: TransformerConfig):
+def prefill_slot(
+    params, caches, tokens, true_len, slot, cfg: TransformerConfig,
+    temperature: float = 0.0, key=None,
+):
     """Fused prefill of one request into cache row `slot`.
 
     tokens: [t_pad] int32 prompt, right-padded to a bucket size so jit
@@ -224,7 +239,7 @@ def prefill_slot(params, caches, tokens, true_len, slot, cfg: TransformerConfig)
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
     logits = x[0, true_len - 1] @ params["unembed"]
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
+    return sample_token(logits, temperature, key), new_caches
 
 
 def prefill_batched(params, caches, prompt, cfg: TransformerConfig):

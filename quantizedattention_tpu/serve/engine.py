@@ -84,29 +84,58 @@ class ServingEngine:
         n_slots: int = 4,
         eos_id: int | None = None,
         scheduler: str = "native",
+        mesh: Mesh | None = None,
+        temperature: float = 0.0,
+        seed: int = 0,
     ):
-        self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
         self.eos_id = eos_id
+        self.temperature = temperature
+        self._key = jax.random.key(seed) if temperature > 0.0 else None
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
 
-        self.caches = [
+        caches = [
             init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
             for _ in params["layers"]
         ]
-        self.last_tok = jnp.zeros((n_slots,), jnp.int32)
-        self.pos = jnp.zeros((n_slots,), jnp.int32)
-        self.active = jnp.zeros((n_slots,), bool)
+        last_tok = jnp.zeros((n_slots,), jnp.int32)
+        pos = jnp.zeros((n_slots,), jnp.int32)
+        active = jnp.zeros((n_slots,), bool)
+
+        if mesh is not None:
+            # "continuous batching across hosts": slots sharded over `data`,
+            # heads over `model`. The batched decode step is an explicit
+            # shard_map (zero-collective attention, psum projections);
+            # prefill goes through GSPMD jit — it gathers what it needs, and
+            # prefill is off the steady-state hot path.
+            if n_slots % mesh.shape["data"] != 0:
+                raise ValueError("n_slots must divide the data axis")
+            pshard, cshard, vshard = serving_shardings(mesh, cfg)
+            params = jax.device_put(params, pshard)
+            caches = jax.device_put(caches, cshard)
+            last_tok = jax.device_put(last_tok, vshard)
+            pos = jax.device_put(pos, vshard)
+            active = jax.device_put(active, vshard)
+            self._decode = make_sharded_decode_step(mesh, cfg, temperature=temperature)
+        else:
+            self._decode = jax.jit(
+                functools.partial(decode_step_batched, cfg=cfg, temperature=temperature)
+            )
+        self.params = params
+        self.caches = caches
+        self.last_tok = last_tok
+        self.pos = pos
+        self.active = active
+        self._prefill = jax.jit(
+            functools.partial(prefill_slot, cfg=cfg, temperature=temperature)
+        )
 
         self._next_id = 0
         self._prompts: dict[int, list[int]] = {}
         self._outputs: dict[int, list[int]] = {}
         self._finished: dict[int, GenerationResult] = {}
         self._slot_req = [-1] * n_slots
-
-        self._decode = jax.jit(functools.partial(decode_step_batched, cfg=cfg))
-        self._prefill = jax.jit(functools.partial(prefill_slot, cfg=cfg))
 
     # -- client side --------------------------------------------------------
 
@@ -162,12 +191,19 @@ class ServingEngine:
             self._slot_req[slot] = -1
             self.active = self.active.at[slot].set(False)
 
+    def _next_key(self):
+        if self._key is None:
+            return None
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
     def _do_prefill(self, rid: int, slot: int):
         prompt = self._prompts[rid]
         t_pad = _bucket(len(prompt))
         tokens = jnp.asarray(prompt + [0] * (t_pad - len(prompt)), jnp.int32)
         first_tok, self.caches = self._prefill(
-            self.params, self.caches, tokens, jnp.int32(len(prompt)), jnp.int32(slot)
+            self.params, self.caches, tokens, jnp.int32(len(prompt)), jnp.int32(slot),
+            key=self._next_key(),
         )
         first = int(first_tok)
         self._slot_req[slot] = rid
@@ -179,7 +215,8 @@ class ServingEngine:
     def _do_decode(self):
         active_before = [i for i in range(self.n_slots) if self._slot_req[i] >= 0]
         next_tok, self.caches = self._decode(
-            self.params, self.caches, self.last_tok, self.pos, self.active
+            self.params, self.caches, self.last_tok, self.pos, self.active,
+            key=self._next_key(),
         )
         toks = np.asarray(next_tok)
         self.last_tok = next_tok
@@ -192,7 +229,8 @@ class ServingEngine:
 # Multi-host decode: slots on `data`, heads on `model`
 # ---------------------------------------------------------------------------
 
-def _sharded_decode_step(params, caches, last_tok, pos, active, cfg: TransformerConfig):
+def _sharded_decode_step(params, caches, last_tok, pos, active, key,
+                         cfg: TransformerConfig, temperature: float = 0.0):
     """Per-device continuous-batching decode step (runs inside shard_map).
 
     Local shapes: last_tok/pos/active [slots_loc]; cache rows [slots_loc,
@@ -224,7 +262,17 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, cfg: Transformer
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
     logits = x[:, 0] @ params["unembed"]
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
+    if temperature == 0.0 or key is None:
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        # decorrelate across data shards: fold the global slot id into the
+        # (replicated) step key, one categorical draw per row
+        rows = jax.lax.axis_index("data") * b_loc + jnp.arange(b_loc)
+        keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(rows)
+        tok = jax.vmap(
+            lambda kk, lg: jax.random.categorical(kk, lg.astype(jnp.float32) / temperature)
+        )(keys, logits).astype(jnp.int32)
+    return tok, new_caches
 
 
 def cache_specs(data_axis: str = "data", model_axis: str = "model") -> QuantizedKVCache:
@@ -236,9 +284,10 @@ def cache_specs(data_axis: str = "data", model_axis: str = "model") -> Quantized
     )
 
 
-def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig):
-    """Jitted multi-chip decode step: (params, caches, last_tok, pos, active)
-    -> (next_tok, caches), slots sharded over `data`, heads over `model`.
+def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig, temperature: float = 0.0):
+    """Jitted multi-chip decode step: (params, caches, last_tok, pos, active,
+    key=None) -> (next_tok, caches), slots sharded over `data`, heads over
+    `model`.
 
     Param layout = models.sharded_train.param_specs (Megatron TP). Use
     jax.device_put with `serving_shardings(mesh, cfg)` to place the operands.
@@ -252,16 +301,23 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig):
     vec = P("data")
     cspecs = [cache_specs() for _ in range(cfg.n_layers)]
 
-    @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(specs, cspecs, vec, vec, vec),
+        in_specs=(specs, cspecs, vec, vec, vec, P()),
         out_specs=(vec, cspecs),
         check_vma=False,
     )
-    def step(params, caches, last_tok, pos, active):
-        return _sharded_decode_step(params, caches, last_tok, pos, active, cfg)
+    def sharded(params, caches, last_tok, pos, active, key):
+        return _sharded_decode_step(
+            params, caches, last_tok, pos, active, key, cfg, temperature
+        )
+
+    @jax.jit
+    def step(params, caches, last_tok, pos, active, key=None):
+        if key is None:  # shard_map in_specs are positional; use a dummy key
+            key = jax.random.key(0)
+        return sharded(params, caches, last_tok, pos, active, key)
 
     return step
 

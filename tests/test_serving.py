@@ -237,6 +237,48 @@ def test_sharded_decode_matches_local():
         )
 
 
+def test_engine_mesh_mode_matches_local():
+    """Full continuous-batching run with mesh sharding (slots on data, heads
+    on model) must produce the same greedy tokens as the local engine."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    from quantizedattention_tpu.parallel import make_attention_mesh
+
+    cfg = small_cfg(n_heads=4, n_kv_heads=4)
+    params = init_transformer(jax.random.key(2), cfg)
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5], [2, 4]]
+    budgets = [5, 4, 6, 3]
+
+    local = ServingEngine(params, cfg, n_slots=4, scheduler="python")
+    rids_l = [local.submit(p, b) for p, b in zip(prompts, budgets)]
+    res_l = local.run()
+
+    sharded = ServingEngine(params, cfg, n_slots=4, scheduler="python", mesh=mesh)
+    rids_s = [sharded.submit(p, b) for p, b in zip(prompts, budgets)]
+    res_s = sharded.run()
+
+    for rl, rs in zip(rids_l, rids_s):
+        assert res_l[rl].tokens == res_s[rs].tokens
+
+
+def test_engine_temperature_sampling(lm):
+    """temperature > 0: tokens stay in-vocab, runs complete, and two seeds
+    differ (overwhelmingly likely for 12 sampled tokens over vocab 64)."""
+    params, cfg = lm
+    outs = []
+    for seed in (0, 1):
+        eng = ServingEngine(
+            params, cfg, n_slots=2, scheduler="python", temperature=1.0, seed=seed
+        )
+        rid = eng.submit([1, 2, 3], max_new_tokens=12)
+        res = eng.run()[rid]
+        assert len(res.tokens) == 12
+        assert all(0 <= t < cfg.vocab_size for t in res.tokens)
+        outs.append(res.tokens)
+    assert outs[0] != outs[1]
+
+
 def test_make_scheduler_fallback():
     s = make_scheduler(2, 64, prefer_native=False)
     assert isinstance(s, PyScheduler)
