@@ -114,9 +114,98 @@ def bench_shape(B, H, T, D, causal=True, accuracy=True):
     return t_sdpa, t_bf16, t_int8, ok
 
 
+def bench_train_step(B=4, H=16, T=2048, D=64):
+    """fwd+bwd comparison at BASELINE config 2's shape (stderr detail)."""
+    from quantizedattention_tpu.ops.api import flash_attention_bf16
+
+    kq, kk, kv, kd = jax.random.split(jax.random.key(1), 4)
+    q = jax.random.normal(kq, (B, H, T, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, T, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, H, T, D), jnp.bfloat16)
+    do = jax.random.normal(kd, (B, H, T, D), jnp.float32)
+
+    def timed(loss_fn, reps=5, n=8):
+        grad = jax.grad(loss_fn, argnums=(0, 1, 2))
+
+        @jax.jit
+        def ch(a):
+            def body(i, acc):
+                gq, gk, gv = grad(acc, k, v)
+                return acc + (1e-20 * (gq + gk + gv)).astype(acc.dtype)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, a).astype(jnp.float32))
+
+        float(ch(q))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(ch(q))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2] / n
+
+    sdpa_step, _, _ = make_steps(True)
+    t_sdpa = timed(lambda a, b, c: jnp.vdot(sdpa_step(a, b, c).astype(jnp.float32), do))
+    t_ours = timed(lambda a, b, c: jnp.vdot(flash_attention_bf16(a, b, c, causal=True), do))
+    flops = 2 * 2 * B * H * T * T * D * 0.5 * 3.5
+    log(f"--- train step (fwd+bwd) shape=({B},{H},{T},{D}) causal ---")
+    log(f"XLA SDPA grad : {t_sdpa*1e3:8.3f} ms  {flops/t_sdpa/1e12:6.1f} TFLOP/s")
+    log(f"bf16 kernel   : {t_ours*1e3:8.3f} ms  {flops/t_ours/1e12:6.1f} TFLOP/s  "
+        f"{t_sdpa/t_ours:.2f}x SDPA")
+
+
+def bench_decode(n_slots=8, ctx=1024):
+    """Serving decode step tokens/s at full context (stderr detail)."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, decode_step_batched, init_transformer, prefill_batched,
+    )
+
+    # modest vocab keeps the relay's compile-request body under its limit —
+    # params must also ride as jit ARGUMENTS (closure capture would bake the
+    # embed/unembed tables into the program as constants)
+    cfg = TransformerConfig(
+        vocab_size=8192, d_model=1024, n_heads=16, n_kv_heads=16, head_dim=64,
+        n_layers=4, max_seq=ctx + 128, attention="bf16",
+    )
+    from quantizedattention_tpu.parallel.kv_cache import init_kv_cache
+
+    params = init_transformer(jax.random.key(0), cfg)
+    caches = [init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+              for _ in params["layers"]]
+    prompt = jax.random.randint(jax.random.key(2), (n_slots, ctx), 0, cfg.vocab_size)
+    tok, caches = jax.jit(prefill_batched, static_argnames="cfg")(params, caches, prompt, cfg)
+
+    import functools
+    decode = jax.jit(functools.partial(decode_step_batched, cfg=cfg))
+    active = jnp.ones((n_slots,), bool)
+    n = 16
+
+    @jax.jit
+    def ch(params, t0, pos0, caches):
+        def body(i, st):
+            t, p, c = st
+            t, c = decode(params, c, t, p, active)
+            return (t, p + 1, c)
+        t, p, c = jax.lax.fori_loop(0, n, body, (t0, pos0, caches))
+        return jnp.sum(t)
+
+    pos0 = jnp.full((n_slots,), ctx, jnp.int32)
+    float(ch(params, tok, pos0, caches))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(ch(params, tok, pos0, caches))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    per_step = times[len(times) // 2] / n
+    log(f"--- serving decode: {n_slots} slots, ctx {ctx}, 4L/1024d model ---")
+    log(f"decode step: {per_step*1e3:7.3f} ms  ->  {n_slots/per_step:,.0f} tokens/s")
+
+
 def main():
     # the reference's canonical shape (detail; its own headline was 0.90x)
     bench_shape(8, 35, 1024, 64, causal=True)
+    bench_train_step()
+    bench_decode()
     # BASELINE config 3's long-sequence regime (headline)
     t_sdpa, t_bf16, t_int8, ok = bench_shape(4, 16, 4096, 64, causal=True)
 

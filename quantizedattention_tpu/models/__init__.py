@@ -16,7 +16,9 @@ from quantizedattention_tpu.models.transformer import (
     make_train_step,
     generate,
     prefill_slot,
+    prefill_batched,
     decode_step_batched,
+    sample_token,
 )
 from quantizedattention_tpu.models.dit import (
     DiTConfig,
@@ -34,7 +36,9 @@ __all__ = [
     "make_train_step",
     "generate",
     "prefill_slot",
+    "prefill_batched",
     "decode_step_batched",
+    "sample_token",
     "DiTConfig",
     "init_dit",
     "dit_forward",

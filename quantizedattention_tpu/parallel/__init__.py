@@ -18,11 +18,19 @@ from quantizedattention_tpu.parallel.mesh import make_attention_mesh
 from quantizedattention_tpu.parallel.sharded import make_sharded_attention
 from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_attention
 from quantizedattention_tpu.parallel.ulysses import ulysses_attention, make_ulysses_attention
+from quantizedattention_tpu.parallel.collective import (
+    allgather_kv_attention,
+    kv_sharded_attention,
+    make_allgather_attention,
+)
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
     init_kv_cache,
     append_kv,
+    write_kv_slot,
     decode_attention,
+    context_sharded_decode,
+    shard_cache_context,
 )
 
 __all__ = [
@@ -32,8 +40,14 @@ __all__ = [
     "make_ring_attention",
     "ulysses_attention",
     "make_ulysses_attention",
+    "allgather_kv_attention",
+    "kv_sharded_attention",
+    "make_allgather_attention",
     "QuantizedKVCache",
     "init_kv_cache",
     "append_kv",
+    "write_kv_slot",
     "decode_attention",
+    "context_sharded_decode",
+    "shard_cache_context",
 ]

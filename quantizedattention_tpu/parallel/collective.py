@@ -1,0 +1,148 @@
+"""All-gather / reduce-scatter attention variants (sequence parallelism).
+
+The north-star (BASELINE.json) names the classic XLA-collective layout
+explicitly: "all-gather of K/V shards, reduce-scatter of O". Ring attention
+(parallel/ring.py) hides the same traffic inside ppermute hops; these
+variants spend it up front, which wins when per-hop latency dominates (short
+sequences, small shards) or when XLA can overlap one big all-gather with the
+first kv tiles better than n-1 dependent hops:
+
+  * allgather_kv_attention — Q stays sequence-sharded, K/V shards all-gather
+    to full length before ONE kernel launch per chip. Differentiable: the
+    backward computes full-length dK/dV from the local Q shard and
+    reduce-scatters them back to their owners (psum_scatter — the mirror
+    collective of the forward's all_gather), while dQ needs no communication.
+  * kv_sharded_attention — Q replicated, K/V sharded; each chip computes a
+    normalized partial over its KV slice and the partials merge with the
+    (m, l) rescale identity via three psum-family collectives. Forward /
+    serving path (the training-side equivalent is the ring).
+
+Both run inside shard_map on the `context` mesh axis and reuse the offset
+support the kernels already have for causal masking across shards.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
+from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
+
+_NEG_INF = float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# all-gather K/V, reduce-scatter dK/dV (differentiable)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def allgather_kv_attention(q, k, v, axis_name, causal=False, sm_scale=None,
+                           config: BlockConfig | None = None):
+    """Sequence-parallel attention: all-gather the KV shards, one kernel.
+
+    q/k/v: local shards [b, h, t_local, d], sequence sharded identically on
+    `axis_name` (call inside shard_map). Returns the local O shard (f32).
+    """
+    o, _ = _ag_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
+    return o
+
+
+def _ag_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
+    idx = jax.lax.axis_index(axis_name)
+    t_local = q.shape[2]
+    k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+    v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    if config is None:
+        config = default_block_config("bf16", t_local, k_full.shape[2])
+    o, lse = flash_attention_fwd(
+        q, k_full, v_full, causal=causal, sm_scale=sm_scale, config=config,
+        q_offset=idx * t_local, k_offset=0,
+    )
+    return o, (q, k_full, v_full, o, lse)
+
+
+def _ag_fwd(q, k, v, axis_name, causal, sm_scale, config):
+    o, res = _ag_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
+    return o, res
+
+
+def _ag_bwd(axis_name, causal, sm_scale, config, res, do):
+    q, k_full, v_full, o, lse = res
+    if config is None:
+        config = default_block_config("bf16", q.shape[2], k_full.shape[2])
+    idx = jax.lax.axis_index(axis_name)
+    t_local = q.shape[2]
+    dq, dk_full, dv_full = flash_attention_bwd(
+        q, k_full, v_full, o, lse, do, causal=causal, sm_scale=sm_scale,
+        config=config, q_offset=idx * t_local, k_offset=0, fast=True,
+    )
+    # each chip holds dK/dV contributions from ITS q shard over the FULL kv
+    # length; the true shard gradient is the sum over chips, delivered back
+    # to the shard's owner — exactly one reduce-scatter per tensor.
+    dk = jax.lax.psum_scatter(dk_full, axis_name, scatter_dimension=2, tiled=True)
+    dv = jax.lax.psum_scatter(dv_full, axis_name, scatter_dimension=2, tiled=True)
+    return dq.astype(q.dtype), dk.astype(k_full.dtype), dv.astype(v_full.dtype)
+
+
+allgather_kv_attention.defvjp(_ag_fwd, _ag_bwd)
+
+
+# ---------------------------------------------------------------------------
+# KV-sharded partials, lse-weighted merge (forward / serving)
+# ---------------------------------------------------------------------------
+
+def kv_sharded_attention(q, k, v, axis_name, causal=False, sm_scale=None,
+                         config: BlockConfig | None = None):
+    """Attention with replicated Q and sequence-sharded K/V — call inside
+    shard_map. Each chip streams its KV slice; partials merge via
+    m = pmax(lse), w = exp2(lse − m), O = psum(w·O̅) / psum(w).
+    """
+    idx = jax.lax.axis_index(axis_name)
+    t_local = k.shape[2]
+    if config is None:
+        config = default_block_config("bf16", q.shape[2], t_local)
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config,
+        q_offset=0, k_offset=idx * t_local,
+    )
+    m = jax.lax.pmax(lse, axis_name)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.where(jnp.isfinite(lse), jnp.exp2(lse - m_safe), 0.0)
+    num = jax.lax.psum(o * w[..., None], axis_name)
+    den = jax.lax.psum(w, axis_name)
+    den = jnp.where(den == 0.0, 1.0, den)
+    return num / den[..., None]
+
+
+def make_allgather_attention(
+    mesh: Mesh,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    context_axis: str = "context",
+):
+    """Jitted all-gather-KV attention on global [b, h, t, d] arrays: batch on
+    data, heads on model, sequence on context (same layout as
+    make_ring_attention — swap one for the other freely)."""
+    spec = P(data_axis, model_axis, context_axis, None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def sharded(q, k, v):
+        return allgather_kv_attention(
+            q, k, v, context_axis, causal=causal, sm_scale=sm_scale, config=config
+        )
+
+    return jax.jit(sharded)

@@ -47,6 +47,8 @@ class QuantizedKVCache(NamedTuple):
 
 
 def init_kv_cache(batch: int, n_kv_heads: int, max_len: int, head_dim: int) -> QuantizedKVCache:
+    if max_len % _LANES != 0:
+        raise ValueError(f"max_len={max_len} must be a multiple of {_LANES} (TPU lane tiling)")
     return QuantizedKVCache(
         k_i8=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
         sk=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
@@ -131,7 +133,7 @@ def write_kv_slot(
 def _decode_kernel(
     len_ref,  # SMEM [b*h_kv] int32
     q_ref, k_ref, sk_ref, v_ref, sv_ref,
-    o_ref,
+    o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, qk_scale, block_kv, num_kv_blocks,
 ):
@@ -182,20 +184,30 @@ def _decode_kernel(
         l = l_scr[...][:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        # exp2-domain lse of the local partial; -inf when this shard holds
+        # no live tokens for the row (the cross-shard merge weights it 0)
+        m = m_scr[...][:, :1]
+        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(l_safe))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_kv", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_kv", "return_lse", "interpret")
+)
 def decode_attention(
     q: jnp.ndarray,
     cache: QuantizedKVCache,
     sm_scale: float | None = None,
     block_kv: int = 512,
+    return_lse: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Single-token decode: q [b, n_q_heads, d] against the int8 cache.
 
     Supports GQA (n_q_heads a multiple of the cache's n_kv_heads). Returns
-    [b, n_q_heads, d] f32.
+    [b, n_q_heads, d] f32; with return_lse=True also the exp2-domain lse
+    [b, n_q_heads] (-inf for rows with no live tokens) — the merge handle
+    for sequence-sharded decode (context_sharded_decode).
     """
     if interpret is None:
         interpret = use_interpret_mode()
@@ -208,9 +220,13 @@ def decode_attention(
     group_pad = max(8, ((group + 7) // 8) * 8)
     max_len = cache.max_len
     if max_len % block_kv != 0:
-        block_kv = max(128, min(block_kv, max_len))
-        if max_len % block_kv != 0:
-            raise ValueError(f"max_len={max_len} must be a multiple of block_kv")
+        # largest 128-multiple divisor of max_len not above the request
+        start = (min(block_kv, max_len) // _LANES) * _LANES
+        block_kv = next(
+            (b for b in range(start, 127, -_LANES) if max_len % b == 0), 0
+        )
+        if not block_kv:
+            raise ValueError(f"max_len={max_len} has no 128-multiple block divisor")
 
     _, qk_scale = qk_scales(head_dim, sm_scale)
     bh = batch * n_kv
@@ -244,7 +260,10 @@ def decode_attention(
             pl.BlockSpec((1, block_kv, head_dim), lambda b, j, *_: (b, j, 0)),
             pl.BlockSpec((1, block_kv, 1), lambda b, j, *_: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, group_pad, head_dim), lambda b, j, *_: (b, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, group_pad, head_dim), lambda b, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, group_pad, _LANES), lambda b, j, *_: (b, 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((group_pad, _LANES), jnp.float32),
             pltpu.VMEM((group_pad, _LANES), jnp.float32),
@@ -252,10 +271,13 @@ def decode_attention(
         ],
     )
 
-    o = pl.pallas_call(
+    o, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bh, group_pad, head_dim), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, group_pad, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bh, group_pad, _LANES), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -263,4 +285,54 @@ def decode_attention(
     )(lengths, qg, k_i8, sk, v_i8, sv)
 
     o = o.reshape(batch, n_kv, group_pad, head_dim)[:, :, :group]
-    return o.reshape(batch, n_q_heads, head_dim)
+    o = o.reshape(batch, n_q_heads, head_dim)
+    if not return_lse:
+        return o
+    lse = lse[:, :, 0].reshape(batch, n_kv, group_pad)[:, :, :group]
+    return o, lse.reshape(batch, n_q_heads)
+
+
+def shard_cache_context(cache: QuantizedKVCache, axis_name: str) -> QuantizedKVCache:
+    """View a device's sequence shard of a context-sharded cache: the shard
+    holds global token positions [idx*shard_len, (idx+1)*shard_len) and its
+    local live-token count is the clipped remainder of the global length.
+    Call inside shard_map on per-device values whose sequence axis is
+    already the local shard."""
+    idx = jax.lax.axis_index(axis_name)
+    shard_len = cache.k_i8.shape[2]
+    local_len = jnp.clip(cache.length - idx * shard_len, 0, shard_len)
+    return cache._replace(length=local_len)
+
+
+def context_sharded_decode(
+    q: jnp.ndarray,
+    cache: QuantizedKVCache,
+    axis_name: str,
+    sm_scale: float | None = None,
+    block_kv: int = 512,
+) -> jnp.ndarray:
+    """Flash-decoding over a sequence-sharded KV cache — call inside
+    shard_map.
+
+    The cache's token axis is sharded on `axis_name` (each chip holds a
+    contiguous slice of every sequence; `cache.length` is the GLOBAL length,
+    replicated). Each chip decodes against its own slice — half the HBM
+    traffic of bf16 thanks to the int8 payload, zero KV movement — and the
+    normalized partials merge with three tiny collectives over the
+    [b, n_q_heads] statistics:
+        m  = pmax(lse);  w = exp2(lse − m);  O = psum(w·O) / psum(w).
+    This is the decode-side counterpart of ring attention's training-side
+    merge (parallel/ring.py), per the north-star's "KV tensor-sharding over
+    a multi-host pod slice with quantized KV-cache".
+    """
+    local = shard_cache_context(cache, axis_name)
+    o, lse = decode_attention(
+        q, local, sm_scale=sm_scale, block_kv=block_kv, return_lse=True
+    )
+    m = jax.lax.pmax(lse, axis_name)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.where(jnp.isfinite(lse), jnp.exp2(lse - m_safe), 0.0)
+    num = jax.lax.psum(o * w[..., None], axis_name)
+    den = jax.lax.psum(w, axis_name)
+    den = jnp.where(den == 0.0, 1.0, den)
+    return num / den[..., None]

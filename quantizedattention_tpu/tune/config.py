@@ -90,7 +90,7 @@ _DEFAULTS = {
     # backward ("fp32" kind below) keeps smaller blocks — HIGHEST-precision
     # passes overflow vmem at 1024².
     "bf16": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=1024, block_kv_bwd=1024),
-    "int8": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=512, block_kv_bwd=512),
+    "int8": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=1024, block_kv_bwd=1024),
     # jvp carries six accumulators; block_q=512 with double-buffered kv=1024
     # overflows the 16M scoped-vmem limit at seq>=4096 (measured on v5e) —
     # (256, 1024) fits and is the measured optimum there (10.4 TFLOP/s f32).

@@ -136,3 +136,65 @@ def test_ulysses_differentiable(rng):
     for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
         rep = mismatch_report(f"ulysses {nm}", g, w, atol=1e-2)
         assert rep.mismatch_rate <= 3.5e-4, rep
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_allgather_kv_attention(rng, causal):
+    """all-gather-KV sequence parallelism == unsharded oracle."""
+    from quantizedattention_tpu.parallel import make_allgather_attention
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    fn = make_allgather_attention(mesh, causal=causal)
+    o = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    rep = mismatch_report(f"allgather causal={causal}", o, want, atol=1e-2)
+    assert rep.mismatch_rate <= 2e-3, rep
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_allgather_kv_attention_differentiable(rng, causal):
+    """dK/dV reduce-scatter backward == oracle gradients."""
+    from quantizedattention_tpu.parallel import make_allgather_attention
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, do = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    fn = make_allgather_attention(mesh, causal=causal)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(fn(q_, k_, v_) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=causal)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rep = mismatch_report(f"allgather {nm}", g, w, atol=1e-2)
+        assert rep.mismatch_rate <= 3.5e-4, rep
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_kv_sharded_attention(rng, causal):
+    """Replicated-Q / sharded-KV partial merge == unsharded oracle."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel import kv_sharded_attention
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=256)
+    kv_spec = P(None, None, "context", None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), kv_spec, kv_spec), out_specs=P(),
+        check_vma=False,
+    )
+    def fn(q_, k_, v_):
+        return kv_sharded_attention(q_, k_, v_, "context", causal=causal)
+
+    o = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    rep = mismatch_report(f"kv-sharded causal={causal}", o, want, atol=1e-2)
+    assert rep.mismatch_rate <= 2e-3, rep

@@ -88,3 +88,80 @@ def test_incremental_decode_sequence(rng):
         want = reference_attention(q1[:, :, None, :], k_full, v_full)[:, :, 0, :]
         rep = mismatch_report(f"decode@{t}", o, want, atol=5e-2)
         assert rep.mismatch_rate <= 5e-3, rep
+
+
+def test_decode_return_lse_merge_identity(rng):
+    """Splitting a cache into two halves and merging the partials via lse
+    must reproduce the unsharded decode (the context_sharded_decode math)."""
+    b, h, max_len, d = 2, 4, 256, 64
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, 200, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, 200, d), jnp.float32)
+    cache = append_kv(init_kv_cache(b, h, max_len, d), k, v)
+    want = decode_attention(q, cache, block_kv=128)
+
+    half = max_len // 2
+    import quantizedattention_tpu.parallel.kv_cache as kvmod
+
+    parts = []
+    for c in range(2):
+        local = kvmod.QuantizedKVCache(
+            k_i8=cache.k_i8[:, :, c * half:(c + 1) * half],
+            sk=cache.sk[:, :, c * half:(c + 1) * half],
+            v_i8=cache.v_i8[:, :, c * half:(c + 1) * half],
+            sv=cache.sv[:, :, c * half:(c + 1) * half],
+            length=jnp.clip(cache.length - c * half, 0, half),
+        )
+        parts.append(decode_attention(q, local, block_kv=128, return_lse=True))
+    (o1, l1), (o2, l2) = parts
+    m = jnp.maximum(l1, l2)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w1 = jnp.where(jnp.isfinite(l1), jnp.exp2(l1 - m_safe), 0.0)
+    w2 = jnp.where(jnp.isfinite(l2), jnp.exp2(l2 - m_safe), 0.0)
+    den = jnp.where(w1 + w2 == 0.0, 1.0, w1 + w2)
+    got = (o1 * w1[..., None] + o2 * w2[..., None]) / den[..., None]
+    assert jnp.max(jnp.abs(got - want)) < 1e-4  # f32 merge rounding; 1.1e-5 measured on v5e
+
+
+def test_context_sharded_decode_matches_unsharded(rng):
+    """Sequence-sharded decode over a 4-device context mesh == unsharded."""
+    import functools
+
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel import context_sharded_decode, make_attention_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 emulated devices")
+    b, n_q, n_kv, max_len, d = 2, 8, 4, 512, 64  # GQA group of 2
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (b, n_q, d), jnp.float32)
+    k = jax.random.normal(kk, (b, n_kv, 300, d), jnp.float32)
+    v = jax.random.normal(kv, (b, n_kv, 300, d), jnp.float32)
+    cache = append_kv(init_kv_cache(b, n_kv, max_len, d), k, v)
+    # different live lengths per row
+    cache = cache._replace(length=jnp.asarray([300, 137], jnp.int32))
+    want = decode_attention(q, cache, block_kv=128)
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    cache_spec = type(cache)(
+        k_i8=P(None, None, "context", None), sk=P(None, None, "context", None),
+        v_i8=P(None, None, "context", None), sv=P(None, None, "context", None),
+        length=P(),
+    )
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), cache_spec), out_specs=P(),
+        check_vma=False,
+    )
+    def sharded(q_, cache_):
+        return context_sharded_decode(q_, cache_, "context", block_kv=128)
+
+    got = sharded(q, cache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
