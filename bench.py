@@ -30,8 +30,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def chained_time(step_fn, q, k, v, n_chain=16, reps=5):
-    """Per-call seconds via n_chain data-dependent calls inside one jit."""
+def chained_time(step_fn, q, k, v, n_chain=64, reps=5):
+    """Per-call seconds via n_chain data-dependent calls inside one jit.
+
+    n_chain must be large: the relay carries a ~26 ms fixed round-trip per
+    fetch (measured: a trivial 32-iter and 256-iter chain both total ~26 ms),
+    so per-call bias is ~26/n_chain ms.
+    """
 
     @jax.jit
     def chained(q_, k_, v_):
@@ -124,7 +129,7 @@ def bench_train_step(B=4, H=16, T=2048, D=64):
     v = jax.random.normal(kv, (B, H, T, D), jnp.bfloat16)
     do = jax.random.normal(kd, (B, H, T, D), jnp.float32)
 
-    def timed(loss_fn, reps=5, n=8):
+    def timed(loss_fn, reps=5, n=32):
         grad = jax.grad(loss_fn, argnums=(0, 1, 2))
 
         @jax.jit
@@ -177,7 +182,7 @@ def bench_decode(n_slots=8, ctx=1024):
     import functools
     decode = jax.jit(functools.partial(decode_step_batched, cfg=cfg))
     active = jnp.ones((n_slots,), bool)
-    n = 16
+    n = 64
 
     @jax.jit
     def ch(params, t0, pos0, caches):

@@ -29,7 +29,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def chained_time(fn, args, n_chain=8, reps=5):
+def chained_time(fn, args, n_chain=32, reps=5):
     """Per-call seconds; chained data-dependent calls (see bench.py)."""
 
     @jax.jit
