@@ -8,12 +8,18 @@ Design: the cache stores int8 K/V payloads with *per-token* symmetric scales
 bandwidth-bound, so the win of int8 here is halved HBM traffic: the kernel
 dequantizes tiles in VMEM right before the matmuls (the same
 load-then-dequantize structure as JAX's quantized paged attention). Scales
-are stored [b·h, max_len, 1] so a (block_kv, 1) tile multiplies straight
-into the dequantized K/V tile.
+are stored [b, h, max_len] — token axis LAST — because inside the kernel
+the token axis of S and P lies on the 128-lane dimension: the K scale
+applies as `s * sk[:, None, :]` and the V scale folds into P before the PV
+dot, so scales never touch the [*, 1]-shaped layout that TPU tiling would
+pad to 128 lanes (a [h, block, 1] f32 scale tile costs 128x its data).
 
-GQA layout: q heads are grouped onto their KV head — [b, n_kv, group, d] —
-so each grid cell computes `group` query rows against one KV head with zero
-cross-chip traffic when heads are sharded (see parallel/sharded.py).
+GQA layout: q heads are grouped onto their KV head — [b, n_kv, group, d].
+The grid is (batch, kv_blocks) with ALL of a sequence's KV heads processed
+in-cell via batched dots (per-head grid cells are tiny at decode shapes and
+launch overhead dominated); head sharding still needs zero cross-chip
+traffic because the head axis is a batch axis of every dot
+(see serve/engine.py's sharded decode).
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ _LANES = 128
 
 
 class QuantizedKVCache(NamedTuple):
-    """int8 KV cache: payload [b, h_kv, max_len, d], scales [b, h_kv, max_len, 1]."""
+    """int8 KV cache: payload [b, h_kv, max_len, d], scales [b, h_kv, max_len]."""
 
     k_i8: jnp.ndarray
     sk: jnp.ndarray
@@ -51,17 +57,18 @@ def init_kv_cache(batch: int, n_kv_heads: int, max_len: int, head_dim: int) -> Q
         raise ValueError(f"max_len={max_len} must be a multiple of {_LANES} (TPU lane tiling)")
     return QuantizedKVCache(
         k_i8=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
-        sk=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        sk=jnp.zeros((batch, n_kv_heads, max_len), jnp.float32),
         v_i8=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
-        sv=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        sv=jnp.zeros((batch, n_kv_heads, max_len), jnp.float32),
         length=jnp.zeros((batch,), jnp.int32),
     )
 
 
 def _row_quant(x):
+    """Per-token symmetric int8: returns (x_i8 [..., t, d], scales [..., t])."""
     s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
     x_i8 = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
-    return x_i8, s.astype(jnp.float32)
+    return x_i8, s[..., 0].astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -83,8 +90,8 @@ def append_kv(
     v_i8, sv = _row_quant(v_new.astype(jnp.float32))
 
     def upd(buf, val, pos):
-        # buf [h, max_len, ...], val [h, t_new, ...] — one batch row
-        return jax.lax.dynamic_update_slice(buf, val, (0, pos, 0))
+        # buf [h, max_len(, d)], val [h, t_new(, d)] — one batch row
+        return jax.lax.dynamic_update_slice(buf, val, (0, pos) + (0,) * (buf.ndim - 2))
 
     t_new = k_new.shape[2]
     adv = t_new if active is None else t_new * active.astype(jnp.int32)
@@ -112,13 +119,16 @@ def write_kv_slot(
     v_i8, sv = _row_quant(v_new.astype(jnp.float32))
 
     def put(buf, val):
-        return jax.lax.dynamic_update_slice(buf, val[None], (slot, 0, 0, 0))
+        return jax.lax.dynamic_update_slice(
+            buf, val[None], (slot,) + (0,) * (buf.ndim - 1)
+        )
 
     # pad/trim the time axis to the cache's max_len before installing
     def fit(val):
         t = val.shape[1]
         if t < cache.max_len:
-            val = jnp.pad(val, ((0, 0), (0, cache.max_len - t), (0, 0)))
+            widths = [(0, 0), (0, cache.max_len - t)] + [(0, 0)] * (val.ndim - 2)
+            val = jnp.pad(val, widths)
         return val[:, : cache.max_len]
 
     return QuantizedKVCache(
@@ -131,13 +141,21 @@ def write_kv_slot(
 
 
 def _decode_kernel(
-    len_ref,  # SMEM [b*h_kv] int32
+    len_ref,  # SMEM [batch] int32
     q_ref, k_ref, sk_ref, v_ref, sv_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, qk_scale, block_kv, num_kv_blocks,
 ):
-    bh = pl.program_id(0)
+    """Grid (batch, kv_blocks); ALL kv heads of one sequence per cell.
+
+    Keeping the head axis inside the kernel (batched dot_general over it)
+    instead of in the grid matters at decode shapes: per-head cells are tiny
+    ([group, d] x [d, block]) and per-cell launch overhead dominated the
+    kernel — measured ~2x faster at (8 slots, 16 heads, ctx 1024) with
+    heads in-cell (0.13 vs 0.27 ms fetch-bias-corrected on v5e).
+    """
+    b = pl.program_id(0)
     kj = pl.program_id(1)
 
     @pl.when(kj == 0)
@@ -146,47 +164,53 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    length = len_ref[bh]
+    length = len_ref[b]
     k_start = kj * block_kv
 
     @pl.when(k_start < length)
     def _body():
-        # dequantize the int8 tiles in VMEM (per-token scales)
-        k_f = k_ref[0].astype(jnp.float32) * sk_ref[0]
-        v_f = v_ref[0].astype(jnp.float32) * sv_ref[0]
-        q = q_ref[0]
+        q = q_ref[0]                          # [h, group, d] f32
+        k_f = k_ref[0].astype(jnp.float32)    # [h, block_kv, d] (unscaled)
+        sk = sk_ref[0]                        # [h, block_kv] — lane-aligned
 
+        # Per-token K scales apply on the LANE axis of S (not on K itself):
+        # s[h,g,t] = (q·k_i8ᵀ)[t] · sk[t] · qk_scale. This keeps scale tiles
+        # [h, block] instead of [h, block, 1] (which TPU tiling pads 128x).
         s = jax.lax.dot_general(
-            q, k_f, (((1,), (1,)), ((), ())),
+            q, k_f, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ) * qk_scale  # [group, block_kv]
+        ) * (sk[:, None, :] * qk_scale)  # [h, group, block_kv]
 
-        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = cols < length
         s = jnp.where(mask, s, -jnp.inf)
 
-        m_prev = m_scr[...][:, :1]
+        m_prev = m_scr[...][:, :, :1]
         next_m = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.where(mask, jnp.exp2(s - next_m), 0.0)
         alpha = jnp.exp2(m_prev - next_m)
-        l_next = l_scr[...][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            p, v_f, (((1,), (0,)), ((), ())),
+        l_next = l_scr[...][:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # V scales fold into P along its lane (token) axis before the dot:
+        # Σ_t p[t]·sv[t]·v_i8[t,d] == Σ_t p[t]·v_f[t,d]
+        pv = jax.lax.dot_general(
+            p * sv_ref[0][:, None, :], v_ref[0].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        acc_scr[...] = acc_scr[...] * alpha + pv
         m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
     @pl.when(kj == num_kv_blocks - 1)
     def _epilogue():
-        l = l_scr[...][:, :1]
+        l = l_scr[...][:, :, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
         # exp2-domain lse of the local partial; -inf when this shard holds
         # no live tokens for the row (the cross-shard merge weights it 0)
-        m = m_scr[...][:, :1]
+        m = m_scr[...][:, :, :1]
         lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log2(l_safe))
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
@@ -219,6 +243,12 @@ def decode_attention(
     # pad the GQA group to the f32 sublane minimum
     group_pad = max(8, ((group + 7) // 8) * 8)
     max_len = cache.max_len
+    # block_kv rides the LANE axis of the scale tiles -> 128-multiple only;
+    # cap it so the per-cell f32 K/V tiles (the VMEM heavyweight:
+    # n_kv * block_kv * d * 8 bytes) stay within budget
+    vmem_budget = 8 * 1024 * 1024
+    cap = max(_LANES, vmem_budget // (n_kv * head_dim * 8))
+    block_kv = max(_LANES, (min(block_kv, cap) // _LANES) * _LANES)
     if max_len % block_kv != 0:
         # largest 128-multiple divisor of max_len not above the request
         start = (min(block_kv, max_len) // _LANES) * _LANES
@@ -229,17 +259,9 @@ def decode_attention(
             raise ValueError(f"max_len={max_len} has no 128-multiple block divisor")
 
     _, qk_scale = qk_scales(head_dim, sm_scale)
-    bh = batch * n_kv
 
     qg = q.astype(jnp.float32).reshape(batch, n_kv, group, head_dim)
     qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_pad - group), (0, 0)))
-    qg = qg.reshape(bh, group_pad, head_dim)
-
-    k_i8 = cache.k_i8.reshape(bh, max_len, head_dim)
-    sk = cache.sk.reshape(bh, max_len, 1)
-    v_i8 = cache.v_i8.reshape(bh, max_len, head_dim)
-    sv = cache.sv.reshape(bh, max_len, 1)
-    lengths = jnp.broadcast_to(cache.length[:, None], (batch, n_kv)).reshape(bh)
 
     num_kv_blocks = cdiv(max_len, block_kv)
 
@@ -252,22 +274,22 @@ def decode_attention(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bh, num_kv_blocks),
+        grid=(batch, num_kv_blocks),
         in_specs=[
-            pl.BlockSpec((1, group_pad, head_dim), lambda b, j, *_: (b, 0, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, j, *_: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, 1), lambda b, j, *_: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, j, *_: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, 1), lambda b, j, *_: (b, j, 0)),
+            pl.BlockSpec((1, n_kv, group_pad, head_dim), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, n_kv, block_kv, head_dim), lambda b, j, *_: (b, 0, j, 0)),
+            pl.BlockSpec((1, n_kv, block_kv), lambda b, j, *_: (b, 0, j)),
+            pl.BlockSpec((1, n_kv, block_kv, head_dim), lambda b, j, *_: (b, 0, j, 0)),
+            pl.BlockSpec((1, n_kv, block_kv), lambda b, j, *_: (b, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, group_pad, head_dim), lambda b, j, *_: (b, 0, 0)),
-            pl.BlockSpec((1, group_pad, _LANES), lambda b, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, n_kv, group_pad, head_dim), lambda b, j, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, n_kv, group_pad, _LANES), lambda b, j, *_: (b, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((group_pad, _LANES), jnp.float32),
-            pltpu.VMEM((group_pad, _LANES), jnp.float32),
-            pltpu.VMEM((group_pad, head_dim), jnp.float32),
+            pltpu.VMEM((n_kv, group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((n_kv, group_pad, _LANES), jnp.float32),
+            pltpu.VMEM((n_kv, group_pad, head_dim), jnp.float32),
         ],
     )
 
@@ -275,20 +297,19 @@ def decode_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bh, group_pad, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((bh, group_pad, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_kv, group_pad, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_kv, group_pad, _LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, qg, k_i8, sk, v_i8, sv)
+    )(cache.length, qg, cache.k_i8, cache.sk, cache.v_i8, cache.sv)
 
-    o = o.reshape(batch, n_kv, group_pad, head_dim)[:, :, :group]
-    o = o.reshape(batch, n_q_heads, head_dim)
+    o = o[:, :, :group].reshape(batch, n_q_heads, head_dim)
     if not return_lse:
         return o
-    lse = lse[:, :, 0].reshape(batch, n_kv, group_pad)[:, :, :group]
+    lse = lse[:, :, :group, 0]
     return o, lse.reshape(batch, n_q_heads)
 
 

@@ -279,8 +279,9 @@ def cache_specs(data_axis: str = "data", model_axis: str = "model") -> Quantized
     """PartitionSpec tree for one layer's QuantizedKVCache: slots on data,
     KV heads on model, sequence+scales replicated along their own axes."""
     payload = P(data_axis, model_axis, None, None)
+    scales = P(data_axis, model_axis, None)
     return QuantizedKVCache(
-        k_i8=payload, sk=payload, v_i8=payload, sv=payload, length=P(data_axis)
+        k_i8=payload, sk=scales, v_i8=payload, sv=scales, length=P(data_axis)
     )
 
 

@@ -16,7 +16,7 @@ def test_append_and_lengths(rng):
     cache = append_kv(cache, k_new, v_new)
     assert cache.length.tolist() == [100, 100]
     # appended region dequantizes back to within int8 step
-    k_hat = cache.k_i8[:, :, :100].astype(jnp.float32) * cache.sk[:, :, :100]
+    k_hat = cache.k_i8[:, :, :100].astype(jnp.float32) * cache.sk[:, :, :100, None]
     assert float(jnp.max(jnp.abs(k_hat - k_new))) < 0.05
     # un-touched tail stays zero
     assert int(jnp.abs(cache.k_i8[:, :, 100:]).max()) == 0
@@ -149,8 +149,8 @@ def test_context_sharded_decode_matches_unsharded(rng):
 
     mesh = make_attention_mesh(data=1, model=1, context=4)
     cache_spec = type(cache)(
-        k_i8=P(None, None, "context", None), sk=P(None, None, "context", None),
-        v_i8=P(None, None, "context", None), sv=P(None, None, "context", None),
+        k_i8=P(None, None, "context", None), sk=P(None, None, "context"),
+        v_i8=P(None, None, "context", None), sv=P(None, None, "context"),
         length=P(),
     )
 
