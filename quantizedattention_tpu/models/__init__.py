@@ -27,6 +27,7 @@ from quantizedattention_tpu.models.dit import (
     dit_jvp_step,
 )
 from quantizedattention_tpu.models.sharded_train import make_sharded_train_step, param_specs
+from quantizedattention_tpu.models.pipeline import make_pipeline_train_step
 
 __all__ = [
     "TransformerConfig",
@@ -44,5 +45,6 @@ __all__ = [
     "dit_forward",
     "dit_jvp_step",
     "make_sharded_train_step",
+    "make_pipeline_train_step",
     "param_specs",
 ]
