@@ -57,18 +57,35 @@ def save_config(kind: str, shape, config: BlockConfig) -> None:
         json.dump(cache, f, indent=2, sort_keys=True)
 
 
-def _time_one(fn, args, iters: int = 10) -> float:
-    """Median wall time of fn(*args) with device sync, after one warmup."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _time_one(fn, args, iters: int = 10, n_chain: int = 32) -> float:
+    """Median per-call seconds of fn(*args).
+
+    Chains n_chain data-dependent calls inside one jit and fetches a scalar:
+    on remote-relay runtimes block_until_ready does NOT force device
+    execution, and every fetch carries a fixed ~26 ms round-trip, so naive
+    per-call sync both lies and swamps sub-ms kernels. Requires fn's first
+    output to broadcast against args[0] (true for every attention kernel
+    here: O has Q's shape).
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(*a):
+        def body(_, acc):
+            out = fn(acc, *a[1:])
+            first = out[0] if isinstance(out, (tuple, list)) else out
+            return (acc + 1e-20 * first).astype(acc.dtype)
+
+        return jnp.sum(jax.lax.fori_loop(0, n_chain, body, a[0]).astype(jnp.float32))
+
+    float(chained(*args))  # warmup/compile
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        float(chained(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2]
+    return times[len(times) // 2] / n_chain
 
 
 def autotune(

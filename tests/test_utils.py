@@ -2,6 +2,8 @@
 
 import os
 
+from tests.conftest import make_qkv
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,3 +57,26 @@ def test_autotune_cache_roundtrip(tmp_path, monkeypatch):
     got = load_cached_config("bf16", (1, 2, 256, 64))
     assert got == cfg
     assert load_cached_config("bf16", (9, 9, 9, 9)) is None
+
+
+def test_autotune_sweep_picks_a_config(tmp_path, monkeypatch, rng):
+    """End-to-end sweep over the real bf16 kernel at a tiny shape: must pick
+    a valid candidate, persist it, and serve it from cache on re-entry."""
+    monkeypatch.setenv("QATTN_TUNE_CACHE", str(tmp_path / "tune.json"))
+    from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+    from quantizedattention_tpu.tune.autotune import autotune
+
+    q, k, v, _ = make_qkv(rng, batch=1, head=1, q_tokens=256)
+
+    def make_fn(cfg):
+        def fn(q_, k_, v_):
+            return flash_attention_fwd(q_, k_, v_, causal=True, config=cfg)
+
+        return fn
+
+    best, t = autotune("bf16", make_fn, (q, k, v), 256, 256,
+                       block_candidates=(128, 256), iters=2)
+    assert best.block_q in (128, 256) and best.block_kv in (128, 256)
+    assert t is not None and t > 0
+    cached, t2 = autotune("bf16", make_fn, (q, k, v), 256, 256)
+    assert cached == best and t2 is None  # served from the persisted cache
