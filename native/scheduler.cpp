@@ -13,6 +13,7 @@
 // stays as full as possible (the standard continuous-batching rule: join
 // between decode steps, leave on completion).
 
+#include <cstddef>
 #include <cstdint>
 #include <deque>
 #include <vector>
@@ -136,6 +137,58 @@ int32_t qa_sched_slot_request(void* h, int32_t slot) {
   auto* s = static_cast<Scheduler*>(h);
   if (slot < 0 || slot >= s->n_slots) return -1;
   return s->slots[slot].request_id;
+}
+
+// ---------------------------------------------------------------------------
+// Page allocator for the paged KV cache (parallel/paged_cache.py).
+// Free-list of fixed-size pages; page 0 is reserved as the null page
+// (tables point unused slots at 0, and the kernel may DMA it harmlessly).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Pager {
+  std::vector<int32_t> free_pages;  // LIFO free list
+  int32_t n_pages;
+
+  explicit Pager(int32_t n) : n_pages(n) {
+    free_pages.reserve(n > 0 ? n - 1 : 0);
+    for (int32_t p = n - 1; p >= 1; --p) free_pages.push_back(p);  // 0 reserved
+  }
+};
+
+}  // namespace
+
+void* qa_pager_create(int32_t n_pages) {
+  if (n_pages < 2) return nullptr;  // page 0 is reserved
+  return new Pager(n_pages);
+}
+
+void qa_pager_destroy(void* h) { delete static_cast<Pager*>(h); }
+
+// Allocate `n` pages into out[0..n). Returns n on success; 0 (and allocates
+// nothing) if fewer than n pages are free — all-or-nothing, so a request
+// never holds a partial page set.
+int32_t qa_pager_alloc(void* h, int32_t n, int32_t* out) {
+  auto* p = static_cast<Pager*>(h);
+  if (n <= 0 || static_cast<size_t>(n) > p->free_pages.size()) return 0;
+  for (int32_t i = 0; i < n; ++i) {
+    out[i] = p->free_pages.back();
+    p->free_pages.pop_back();
+  }
+  return n;
+}
+
+// Return `n` pages to the pool. Page 0 and out-of-range ids are ignored.
+void qa_pager_free(void* h, int32_t n, const int32_t* pages) {
+  auto* p = static_cast<Pager*>(h);
+  for (int32_t i = 0; i < n; ++i) {
+    if (pages[i] >= 1 && pages[i] < p->n_pages) p->free_pages.push_back(pages[i]);
+  }
+}
+
+int32_t qa_pager_num_free(void* h) {
+  return static_cast<int32_t>(static_cast<Pager*>(h)->free_pages.size());
 }
 
 }  // extern "C"

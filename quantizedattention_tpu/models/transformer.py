@@ -23,6 +23,12 @@ from quantizedattention_tpu.parallel.kv_cache import (
     init_kv_cache,
     write_kv_slot,
 )
+from quantizedattention_tpu.parallel.paged_cache import (
+    PagedKVCache,
+    append_token_paged,
+    paged_decode_attention,
+    write_prompt_paged,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,8 +207,12 @@ def decode_step_batched(
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
-        cache = append_kv(cache, k, v, active=active)
-        o = decode_attention(q[:, :, 0, :], cache)  # GQA-native
+        if isinstance(cache, PagedKVCache):
+            cache = append_token_paged(cache, k, v, active)
+            o = paged_decode_attention(q[:, :, 0, :], cache)
+        else:
+            cache = append_kv(cache, k, v, active=active)
+            o = decode_attention(q[:, :, 0, :], cache)  # GQA-native
         o = o.reshape(x.shape[0], 1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
         new_caches.append(cache)
@@ -232,7 +242,12 @@ def prefill_slot(
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
-        cache = write_kv_slot(cache, slot, k[0], v[0], true_len)
+        if isinstance(cache, PagedKVCache):
+            # paged prefill: t_pad must be a multiple of the page size (the
+            # engine buckets prompts accordingly); the slot is the seq id
+            cache = write_prompt_paged(cache, slot, k[0], v[0], true_len)
+        else:
+            cache = write_kv_slot(cache, slot, k[0], v[0], true_len)
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(1, -1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])

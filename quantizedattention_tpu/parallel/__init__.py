@@ -23,6 +23,14 @@ from quantizedattention_tpu.parallel.collective import (
     kv_sharded_attention,
     make_allgather_attention,
 )
+from quantizedattention_tpu.parallel.paged_cache import (
+    PagedKVCache,
+    init_paged_cache,
+    assign_pages,
+    write_prompt_paged,
+    append_token_paged,
+    paged_decode_attention,
+)
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
     init_kv_cache,
@@ -50,4 +58,10 @@ __all__ = [
     "decode_attention",
     "context_sharded_decode",
     "shard_cache_context",
+    "PagedKVCache",
+    "init_paged_cache",
+    "assign_pages",
+    "write_prompt_paged",
+    "append_token_paged",
+    "paged_decode_attention",
 ]

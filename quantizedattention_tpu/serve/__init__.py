@@ -12,8 +12,11 @@ from quantizedattention_tpu.serve.engine import (
     make_sharded_decode_step,
 )
 from quantizedattention_tpu.serve.scheduler import (
+    NativePager,
     NativeScheduler,
+    PyPager,
     PyScheduler,
+    make_pager,
     make_scheduler,
 )
 
@@ -23,5 +26,8 @@ __all__ = [
     "NativeScheduler",
     "PyScheduler",
     "make_scheduler",
+    "NativePager",
+    "PyPager",
+    "make_pager",
     "make_sharded_decode_step",
 ]

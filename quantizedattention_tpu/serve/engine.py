@@ -51,7 +51,14 @@ from quantizedattention_tpu.parallel.kv_cache import (
     decode_attention,
     init_kv_cache,
 )
-from quantizedattention_tpu.serve.scheduler import DECODE, IDLE, PREFILL, make_scheduler
+from quantizedattention_tpu.parallel.paged_cache import assign_pages, init_paged_cache
+from quantizedattention_tpu.serve.scheduler import (
+    DECODE,
+    IDLE,
+    PREFILL,
+    make_pager,
+    make_scheduler,
+)
 
 
 @dataclasses.dataclass
@@ -87,6 +94,9 @@ class ServingEngine:
         mesh: Mesh | None = None,
         temperature: float = 0.0,
         seed: int = 0,
+        cache: str = "slotted",
+        page_size: int = 128,
+        n_pages: int | None = None,
     ):
         self.cfg = cfg
         self.n_slots = n_slots
@@ -95,10 +105,32 @@ class ServingEngine:
         self._key = jax.random.key(seed) if temperature > 0.0 else None
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
 
-        caches = [
-            init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
-            for _ in params["layers"]
-        ]
+        self.cache_kind = cache
+        self._pager = None
+        self._slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
+        if cache == "paged":
+            # one allocator; the same page ids index every layer's pool
+            if mesh is not None:
+                raise ValueError("paged cache is single-host for now; use cache='slotted' with mesh")
+            self._page_size = page_size
+            max_pages_per_seq = -(-cfg.max_seq // page_size)
+            if n_pages is None:
+                n_pages = 1 + n_slots * max_pages_per_seq  # page 0 reserved
+            self._pager = make_pager(n_pages, prefer_native=scheduler == "native")
+            caches = [
+                init_paged_cache(
+                    cfg.n_kv_heads, n_pages, n_slots, max_pages_per_seq,
+                    cfg.head_dim, page_size,
+                )
+                for _ in params["layers"]
+            ]
+        elif cache == "slotted":
+            caches = [
+                init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+                for _ in params["layers"]
+            ]
+        else:
+            raise ValueError(f"unknown cache kind {cache!r}")
         last_tok = jnp.zeros((n_slots,), jnp.int32)
         pos = jnp.zeros((n_slots,), jnp.int32)
         active = jnp.zeros((n_slots,), bool)
@@ -132,6 +164,7 @@ class ServingEngine:
         )
 
         self._next_id = 0
+        self._budgets: dict[int, int] = {}
         self._prompts: dict[int, list[int]] = {}
         self._outputs: dict[int, list[int]] = {}
         self._finished: dict[int, GenerationResult] = {}
@@ -155,6 +188,7 @@ class ServingEngine:
             )
         self._prompts[rid] = prompt
         self._outputs[rid] = []
+        self._budgets[rid] = max_new_tokens
         return rid
 
     def run(self) -> dict[int, GenerationResult]:
@@ -188,8 +222,12 @@ class ServingEngine:
                 tokens=self._outputs.pop(rid),
                 finish_reason="eos" if is_eos else "length",
             )
+            self._budgets.pop(rid, None)
             self._slot_req[slot] = -1
             self.active = self.active.at[slot].set(False)
+            if self._pager is not None and self._slot_pages[slot]:
+                self._pager.free(self._slot_pages[slot])
+                self._slot_pages[slot] = []
 
     def _next_key(self):
         if self._key is None:
@@ -199,7 +237,30 @@ class ServingEngine:
 
     def _do_prefill(self, rid: int, slot: int):
         prompt = self._prompts[rid]
-        t_pad = _bucket(len(prompt))
+        if self.cache_kind == "paged":
+            ps = self._page_size
+            # allocate pages for the whole prompt+generation budget up front
+            # (all-or-nothing; budget known at submit, so no mid-flight OOM)
+            budget = self._budgets[rid]
+            n_need = -(-(len(prompt) + budget) // ps)
+            pages = self._pager.alloc(n_need)
+            if pages is None:
+                # pool exhausted: requeue at the front by failing admission —
+                # simplest safe behavior is to finish other slots first
+                raise RuntimeError(
+                    f"page pool exhausted: need {n_need}, free {self._pager.num_free}"
+                )
+            self._slot_pages[slot] = pages
+            max_pages = self.caches[0].page_table.shape[1]
+            table_row = jnp.asarray(
+                pages + [0] * (max_pages - len(pages)), jnp.int32
+            )
+            self.caches = [
+                assign_pages(c, jnp.int32(slot), table_row) for c in self.caches
+            ]
+            t_pad = -(-max(len(prompt), 1) // ps) * ps
+        else:
+            t_pad = _bucket(len(prompt))
         tokens = jnp.asarray(prompt + [0] * (t_pad - len(prompt)), jnp.int32)
         first_tok, self.caches = self._prefill(
             self.params, self.caches, tokens, jnp.int32(len(prompt)), jnp.int32(slot),

@@ -66,6 +66,18 @@ def _load():
             fn.argtypes = [ctypes.c_void_p]
         lib.qa_sched_slot_request.restype = ctypes.c_int32
         lib.qa_sched_slot_request.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.qa_pager_create.restype = ctypes.c_void_p
+        lib.qa_pager_create.argtypes = [ctypes.c_int32]
+        lib.qa_pager_destroy.argtypes = [ctypes.c_void_p]
+        lib.qa_pager_alloc.restype = ctypes.c_int32
+        lib.qa_pager_alloc.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)
+        ]
+        lib.qa_pager_free.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32)
+        ]
+        lib.qa_pager_num_free.restype = ctypes.c_int32
+        lib.qa_pager_num_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -173,6 +185,70 @@ class PyScheduler:
 
     def slot_request(self, slot: int) -> int:
         return self._slots[slot].request_id
+
+
+class NativePager:
+    """ctypes handle to the C++ page allocator (paged KV cache). Page 0 is
+    the reserved null page — tables point unused slots at it."""
+
+    def __init__(self, n_pages: int):
+        self._lib = _load()
+        self._h = self._lib.qa_pager_create(n_pages)
+        if not self._h:
+            raise ValueError(f"bad pager args: n_pages={n_pages}")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.qa_pager_destroy(self._h)
+            self._h = None
+
+    def alloc(self, n: int) -> list[int] | None:
+        """n page ids, or None if the pool can't cover it (all-or-nothing)."""
+        out = (ctypes.c_int32 * n)()
+        if self._lib.qa_pager_alloc(self._h, n, out) != n:
+            return None
+        return list(out)
+
+    def free(self, pages) -> None:
+        arr = (ctypes.c_int32 * len(pages))(*pages)
+        self._lib.qa_pager_free(self._h, len(pages), arr)
+
+    @property
+    def num_free(self) -> int:
+        return self._lib.qa_pager_num_free(self._h)
+
+
+class PyPager:
+    """Pure-Python twin of the native page allocator (same LIFO policy)."""
+
+    def __init__(self, n_pages: int):
+        if n_pages < 2:
+            raise ValueError(f"bad pager args: n_pages={n_pages}")
+        self.n_pages = n_pages
+        self._free = list(range(n_pages - 1, 0, -1))  # page 0 reserved
+
+    def alloc(self, n: int) -> list[int] | None:
+        if n <= 0 or n > len(self._free):
+            return None
+        out = [self._free.pop() for _ in range(n)]
+        return out
+
+    def free(self, pages) -> None:
+        self._free.extend(p for p in pages if 1 <= p < self.n_pages)
+
+    @property
+    def num_free(self) -> int:
+        return len(self._free)
+
+
+def make_pager(n_pages: int, prefer_native: bool = True):
+    """Native page allocator when available, Python twin otherwise."""
+    if prefer_native:
+        try:
+            return NativePager(n_pages)
+        except (OSError, subprocess.CalledProcessError):
+            pass
+    return PyPager(n_pages)
 
 
 def make_scheduler(n_slots: int, max_len: int, prefer_native: bool = True):

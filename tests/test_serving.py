@@ -282,3 +282,35 @@ def test_engine_temperature_sampling(lm):
 def test_make_scheduler_fallback():
     s = make_scheduler(2, 64, prefer_native=False)
     assert isinstance(s, PyScheduler)
+
+
+def test_engine_paged_matches_slotted(lm):
+    """Paged continuous batching (C++/Python page allocator, page-table
+    gather decode) produces the same greedy tokens as the slotted engine,
+    across enough requests that pages are freed and reallocated."""
+    params, cfg = lm
+    prompts = [
+        [1, 2, 3, 4, 5],
+        [10, 20, 30],
+        [7] * 20,
+        [42, 17],
+        [9, 8, 7, 6, 5, 4],
+        [3] * 11,
+    ]
+    budgets = [6, 4, 8, 5, 3, 7]
+
+    slotted = ServingEngine(params, cfg, n_slots=2, scheduler="python")
+    r1 = [slotted.submit(p, b) for p, b in zip(prompts, budgets)]
+    res1 = slotted.run()
+
+    # small pool (enough for 2 slots only) forces free->realloc churn
+    paged = ServingEngine(
+        params, cfg, n_slots=2, scheduler="python", cache="paged", page_size=128,
+    )
+    free0 = paged._pager.num_free
+    r2 = [paged.submit(p, b) for p, b in zip(prompts, budgets)]
+    res2 = paged.run()
+
+    for a, b in zip(r1, r2):
+        assert res1[a].tokens == res2[b].tokens
+    assert paged._pager.num_free == free0  # every page returned to the pool
