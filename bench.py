@@ -132,25 +132,25 @@ def bench_train_step(B=4, H=16, T=2048, D=64):
     def timed(loss_fn, reps=5, n=32):
         grad = jax.grad(loss_fn, argnums=(0, 1, 2))
 
-        @jax.jit
-        def ch(a):
+        @jax.jit  # k/v/do ride as ARGUMENTS (closure would bake them as constants)
+        def ch(a, k_, v_, do_):
             def body(i, acc):
-                gq, gk, gv = grad(acc, k, v)
+                gq, gk, gv = grad(acc, k_, v_, do_)
                 return acc + (1e-20 * (gq + gk + gv)).astype(acc.dtype)
             return jnp.sum(jax.lax.fori_loop(0, n, body, a).astype(jnp.float32))
 
-        float(ch(q))
+        float(ch(q, k, v, do))
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(ch(q))
+            float(ch(q, k, v, do))
             times.append(time.perf_counter() - t0)
         times.sort()
         return times[len(times) // 2] / n
 
     sdpa_step, _, _ = make_steps(True)
-    t_sdpa = timed(lambda a, b, c: jnp.vdot(sdpa_step(a, b, c).astype(jnp.float32), do))
-    t_ours = timed(lambda a, b, c: jnp.vdot(flash_attention_bf16(a, b, c, causal=True), do))
+    t_sdpa = timed(lambda a, b, c, d_: jnp.vdot(sdpa_step(a, b, c).astype(jnp.float32), d_))
+    t_ours = timed(lambda a, b, c, d_: jnp.vdot(flash_attention_bf16(a, b, c, causal=True), d_))
     flops = 2 * 2 * B * H * T * T * D * 0.5 * 3.5
     log(f"--- train step (fwd+bwd) shape=({B},{H},{T},{D}) causal ---")
     log(f"XLA SDPA grad : {t_sdpa*1e3:8.3f} ms  {flops/t_sdpa/1e12:6.1f} TFLOP/s")

@@ -30,23 +30,10 @@ def log(*a):
 
 
 def chained_time(fn, args, n_chain=32, reps=5):
-    """Per-call seconds; chained data-dependent calls (see bench.py)."""
+    """Per-call seconds via the shared relay-proof harness."""
+    from quantizedattention_tpu.utils.profiling import chained_seconds
 
-    @jax.jit
-    def chained(q, k, v):
-        def body(i, acc):
-            return acc + fn(acc, k, v) * 1e-20
-        out = jax.lax.fori_loop(0, n_chain, body, q)
-        return jnp.sum(out.astype(jnp.float32))
-
-    float(chained(*args))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(chained(*args))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2] / n_chain
+    return chained_seconds(fn, *args, n_chain=n_chain, reps=reps)
 
 
 def bench_ring(n_devices: int, t_local: int = 1024, batch: int = 1, heads: int = 4,

@@ -30,6 +30,7 @@ struct Slot {
   int32_t request_id = -1;  // -1 == free
   int32_t generated = 0;
   int32_t max_new_tokens = 0;
+  int32_t prompt_len = 0;
 };
 
 struct Scheduler {
@@ -96,7 +97,7 @@ int32_t qa_sched_next(void* h, int32_t* out_req, int32_t* out_slot) {
     if (slot >= 0) {
       Request r = s->waiting.front();
       s->waiting.pop_front();
-      s->slots[slot] = {r.id, 0, r.max_new_tokens};
+      s->slots[slot] = {r.id, 0, r.max_new_tokens, r.prompt_len};
       if (out_req) *out_req = r.id;
       if (out_slot) *out_slot = slot;
       return QA_PREFILL;
@@ -119,6 +120,18 @@ int32_t qa_sched_report_token(void* h, int32_t slot, int32_t is_eos) {
     s->completed++;
     return 1;
   }
+  return 0;
+}
+
+// Undo an admission the engine could not serve (e.g. KV page pool
+// exhausted): requeue the slot's request at the FRONT of the waiting queue
+// and free the slot. Returns 0 on success, -1 if the slot is free/invalid.
+int32_t qa_sched_requeue(void* h, int32_t slot) {
+  auto* s = static_cast<Scheduler*>(h);
+  if (slot < 0 || slot >= s->n_slots || s->slots[slot].request_id < 0) return -1;
+  Slot& sl = s->slots[slot];
+  s->waiting.push_front({sl.request_id, sl.prompt_len, sl.max_new_tokens});
+  sl = Slot{};
   return 0;
 }
 
@@ -149,11 +162,13 @@ namespace {
 
 struct Pager {
   std::vector<int32_t> free_pages;  // LIFO free list
+  std::vector<bool> is_free;        // double-free / alias guard
   int32_t n_pages;
 
-  explicit Pager(int32_t n) : n_pages(n) {
+  explicit Pager(int32_t n) : is_free(n, true), n_pages(n) {
     free_pages.reserve(n > 0 ? n - 1 : 0);
     for (int32_t p = n - 1; p >= 1; --p) free_pages.push_back(p);  // 0 reserved
+    is_free[0] = false;  // the reserved null page is never handed out
   }
 };
 
@@ -175,15 +190,21 @@ int32_t qa_pager_alloc(void* h, int32_t n, int32_t* out) {
   for (int32_t i = 0; i < n; ++i) {
     out[i] = p->free_pages.back();
     p->free_pages.pop_back();
+    p->is_free[out[i]] = false;
   }
   return n;
 }
 
-// Return `n` pages to the pool. Page 0 and out-of-range ids are ignored.
+// Return `n` pages to the pool. Page 0, out-of-range ids, and pages that
+// are already free (double-free — would alias one page to two requests on
+// the next alloc) are ignored.
 void qa_pager_free(void* h, int32_t n, const int32_t* pages) {
   auto* p = static_cast<Pager*>(h);
   for (int32_t i = 0; i < n; ++i) {
-    if (pages[i] >= 1 && pages[i] < p->n_pages) p->free_pages.push_back(pages[i]);
+    if (pages[i] >= 1 && pages[i] < p->n_pages && !p->is_free[pages[i]]) {
+      p->free_pages.push_back(pages[i]);
+      p->is_free[pages[i]] = true;
+    }
   }
 }
 

@@ -93,12 +93,7 @@ def make_pipeline_train_step(
     if cfg.n_layers % n_stages != 0:
         raise ValueError(f"n_layers={cfg.n_layers} must divide into {n_stages} stages")
 
-    specs = {
-        "embed": P(),
-        "unembed": P(),
-        "final_norm": P(),
-        "layers": {k: P("pipe") for k in ("ln1", "wq", "wk", "wv", "wo", "ln2", "w1", "w2")},
-    }
+    specs = pipeline_param_specs(cfg)
 
     def prepare(params):
         stacked = {

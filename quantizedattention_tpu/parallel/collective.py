@@ -33,7 +33,19 @@ from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 
-_NEG_INF = float("-inf")
+
+def lse_weighted_merge(o, lse, axis_name):
+    """Merge normalized attention partials across `axis_name`:
+    m = pmax(lse); w = exp2(lse − m); O = psum(w·O) / psum(w).
+    lse is exp2-domain, -inf on rows with no live keys (weight 0). Shared by
+    kv_sharded_attention and context_sharded_decode (kv_cache.py)."""
+    m = jax.lax.pmax(lse, axis_name)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.where(jnp.isfinite(lse), jnp.exp2(lse - m_safe), 0.0)
+    num = jax.lax.psum(o * w[..., None], axis_name)
+    den = jax.lax.psum(w, axis_name)
+    den = jnp.where(den == 0.0, 1.0, den)
+    return num / den[..., None]
 
 
 # ---------------------------------------------------------------------------
@@ -110,13 +122,7 @@ def kv_sharded_attention(q, k, v, axis_name, causal=False, sm_scale=None,
         q, k, v, causal=causal, sm_scale=sm_scale, config=config,
         q_offset=0, k_offset=idx * t_local,
     )
-    m = jax.lax.pmax(lse, axis_name)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    w = jnp.where(jnp.isfinite(lse), jnp.exp2(lse - m_safe), 0.0)
-    num = jax.lax.psum(o * w[..., None], axis_name)
-    den = jax.lax.psum(w, axis_name)
-    den = jnp.where(den == 0.0, 1.0, den)
-    return num / den[..., None]
+    return lse_weighted_merge(o, lse, axis_name)
 
 
 def make_allgather_attention(

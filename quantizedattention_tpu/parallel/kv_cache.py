@@ -346,14 +346,10 @@ def context_sharded_decode(
     merge (parallel/ring.py), per the north-star's "KV tensor-sharding over
     a multi-host pod slice with quantized KV-cache".
     """
+    from quantizedattention_tpu.parallel.collective import lse_weighted_merge
+
     local = shard_cache_context(cache, axis_name)
     o, lse = decode_attention(
         q, local, sm_scale=sm_scale, block_kv=block_kv, return_lse=True
     )
-    m = jax.lax.pmax(lse, axis_name)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    w = jnp.where(jnp.isfinite(lse), jnp.exp2(lse - m_safe), 0.0)
-    num = jax.lax.psum(o * w[..., None], axis_name)
-    den = jax.lax.psum(w, axis_name)
-    den = jnp.where(den == 0.0, 1.0, den)
-    return num / den[..., None]
+    return lse_weighted_merge(o, lse, axis_name)

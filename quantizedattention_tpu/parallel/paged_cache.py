@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from quantizedattention_tpu.ops.common import qk_scales
+from quantizedattention_tpu.parallel.kv_cache import _row_quant
 from quantizedattention_tpu.utils.runtime import use_interpret_mode
 
 _LANES = 128
@@ -81,10 +82,6 @@ def init_paged_cache(
     )
 
 
-def _row_quant(x):
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
-    x_i8 = jnp.clip(jnp.round(x / s), -127.0, 127.0).astype(jnp.int8)
-    return x_i8, s[..., 0].astype(jnp.float32)
 
 
 @jax.jit
@@ -145,12 +142,17 @@ def append_token_paged(
 
     page_idx = cache.lengths // ps                     # [s]
     offset = cache.lengths % ps                        # [s]
-    pages = jnp.take_along_axis(cache.page_table, page_idx[:, None], axis=1)[:, 0]
-    # inactive rows must not write AT ALL: their stale table may point at a
-    # page since re-allocated to a live sequence. Route them out of range
-    # and drop the scatter.
+    max_pages = cache.page_table.shape[1]
+    pages = jnp.take_along_axis(
+        cache.page_table, jnp.minimum(page_idx, max_pages - 1)[:, None], axis=1
+    )[:, 0]
+    # rows that must not write: inactive (stale table may point at a page
+    # since re-allocated to a live sequence) or at full table capacity
+    # (take_along_axis would otherwise clip onto the LAST page and corrupt
+    # it). Route both out of range and drop the scatter; neither advances.
+    ok = active & (page_idx < max_pages)
     n_pages = cache.n_pages
-    pages = jnp.where(active, pages, n_pages)
+    pages = jnp.where(ok, pages, n_pages)
 
     def scatter_kv(buf, val):
         # buf [h, n_pages, ps, d]; val [s, h, 1, d]
@@ -166,7 +168,7 @@ def append_token_paged(
         sk=scatter_scale(cache.sk, sk),
         v_pages=scatter_kv(cache.v_pages, v_i8),
         sv=scatter_scale(cache.sv, sv),
-        lengths=cache.lengths + active.astype(jnp.int32),
+        lengths=cache.lengths + ok.astype(jnp.int32),
     )
 
 

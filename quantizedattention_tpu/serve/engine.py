@@ -109,7 +109,12 @@ class ServingEngine:
         self._pager = None
         self._slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
         if cache == "paged":
-            # one allocator; the same page ids index every layer's pool
+            # one allocator; the same page ids index every layer's pool.
+            # Each layer's cache carries its own (tiny, identical) page
+            # table / lengths copy: splitting them out would change the
+            # PagedKVCache pytree every kernel consumes for an
+            # admission-time-only saving of n_layers [n_slots, max_pages]
+            # int32 scatters.
             if mesh is not None:
                 raise ValueError("paged cache is single-host for now; use cache='slotted' with mesh")
             self._page_size = page_size
@@ -181,6 +186,13 @@ class ServingEngine:
         prompt = [int(t) for t in prompt]
         rid = self._next_id
         self._next_id += 1
+        if self._pager is not None:
+            n_need = -(-(len(prompt) + max_new_tokens) // self._page_size)
+            total_usable = self.caches[0].n_pages - 1  # page 0 reserved
+            if n_need > total_usable:
+                raise ValueError(
+                    f"request rejected: needs {n_need} pages > pool of {total_usable}"
+                )
         if not self.sched.submit(rid, len(prompt), max_new_tokens):
             raise ValueError(
                 f"request rejected: prompt {len(prompt)} + budget {max_new_tokens} "
@@ -245,11 +257,15 @@ class ServingEngine:
             n_need = -(-(len(prompt) + budget) // ps)
             pages = self._pager.alloc(n_need)
             if pages is None:
-                # pool exhausted: requeue at the front by failing admission —
-                # simplest safe behavior is to finish other slots first
-                raise RuntimeError(
-                    f"page pool exhausted: need {n_need}, free {self._pager.num_free}"
-                )
+                # pool exhausted: undo the admission (request returns to the
+                # FRONT of the queue, slot frees) and make progress by
+                # decoding instead — completions free pages, so the prefill
+                # retries later. submit() guarantees n_need fits an empty
+                # pool, so this cannot live-lock.
+                self.sched.requeue(slot)
+                if self.sched.num_active > 0:
+                    self._do_decode()
+                return
             self._slot_pages[slot] = pages
             max_pages = self.caches[0].page_table.shape[1]
             table_row = jnp.asarray(
@@ -376,10 +392,15 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig, temperature: fl
         )
 
     @jax.jit
-    def step(params, caches, last_tok, pos, active, key=None):
-        if key is None:  # shard_map in_specs are positional; use a dummy key
-            key = jax.random.key(0)
+    def _step(params, caches, last_tok, pos, active, key):
         return sharded(params, caches, last_tok, pos, active, key)
+
+    def step(params, caches, last_tok, pos, active, key=None):
+        if key is None:
+            if temperature > 0.0:
+                raise ValueError("temperature > 0 requires a PRNG key per step")
+            key = jax.random.key(0)  # unused placeholder (greedy path)
+        return _step(params, caches, last_tok, pos, active, key)
 
     return step
 

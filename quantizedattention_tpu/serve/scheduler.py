@@ -56,6 +56,8 @@ def _load():
         ]
         lib.qa_sched_report_token.restype = ctypes.c_int32
         lib.qa_sched_report_token.argtypes = [ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32]
+        lib.qa_sched_requeue.restype = ctypes.c_int32
+        lib.qa_sched_requeue.argtypes = [ctypes.c_void_p, ctypes.c_int32]
         for name in ("qa_sched_num_active", "qa_sched_num_waiting"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int32
@@ -113,6 +115,12 @@ class NativeScheduler:
             raise ValueError(f"report_token on free/invalid slot {slot}")
         return bool(r)
 
+    def requeue(self, slot: int) -> None:
+        """Undo an admission (engine could not serve it — e.g. page pool
+        exhausted): request returns to the FRONT of the queue, slot frees."""
+        if self._lib.qa_sched_requeue(self._h, slot) < 0:
+            raise ValueError(f"requeue on free/invalid slot {slot}")
+
     @property
     def num_active(self) -> int:
         return self._lib.qa_sched_num_active(self._h)
@@ -134,6 +142,7 @@ class _Slot:
     request_id: int = -1
     generated: int = 0
     max_new_tokens: int = 0
+    prompt_len: int = 0
 
 
 class PyScheduler:
@@ -157,8 +166,8 @@ class PyScheduler:
         if self._waiting:
             for i, s in enumerate(self._slots):
                 if s.request_id < 0:
-                    rid, _plen, mnt = self._waiting.popleft()
-                    self._slots[i] = _Slot(rid, 0, mnt)
+                    rid, plen, mnt = self._waiting.popleft()
+                    self._slots[i] = _Slot(rid, 0, mnt, plen)
                     return PREFILL, rid, i
         if self.num_active > 0:
             return DECODE, -1, -1
@@ -174,6 +183,13 @@ class PyScheduler:
             self.num_completed += 1
             return True
         return False
+
+    def requeue(self, slot: int) -> None:
+        s = self._slots[slot]
+        if s.request_id < 0:
+            raise ValueError(f"requeue on free slot {slot}")
+        self._waiting.appendleft((s.request_id, s.prompt_len, s.max_new_tokens))
+        self._slots[slot] = _Slot()
 
     @property
     def num_active(self) -> int:
@@ -230,11 +246,16 @@ class PyPager:
     def alloc(self, n: int) -> list[int] | None:
         if n <= 0 or n > len(self._free):
             return None
-        out = [self._free.pop() for _ in range(n)]
-        return out
+        return [self._free.pop() for _ in range(n)]
 
     def free(self, pages) -> None:
-        self._free.extend(p for p in pages if 1 <= p < self.n_pages)
+        # ignore page 0, out-of-range ids, and double-frees (would alias one
+        # page to two requests on the next alloc) — same policy as native
+        live = set(self._free)
+        for p in pages:
+            if 1 <= p < self.n_pages and p not in live:
+                self._free.append(p)
+                live.add(p)
 
     @property
     def num_free(self) -> int:

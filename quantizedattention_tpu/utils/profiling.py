@@ -37,11 +37,14 @@ class KernelTiming:
         return f"{self.seconds*1e3:.3f} ms, {self.tflops:.1f} TFLOP/s{util}"
 
 
-def chained_seconds(step_fn, q, *rest, n_chain: int = 16, reps: int = 5) -> float:
+def chained_seconds(step_fn, q, *rest, n_chain: int = 64, reps: int = 5) -> float:
     """Median per-call seconds of step_fn(q, *rest) -> array like q.
 
     Chains n_chain data-dependent calls in one jit and fetches a scalar, so
-    the measurement survives async dispatch and remote-relay execution.
+    the measurement survives async dispatch and remote-relay execution. The
+    fetch itself carries a fixed round-trip (~26 ms measured on the relay),
+    biasing per-call time by that/n_chain — keep n_chain >= 64 for sub-ms
+    kernels.
     """
 
     @jax.jit
@@ -66,7 +69,7 @@ def attention_flops(batch, heads, q_tokens, kv_tokens, head_dim, causal: bool) -
 
 
 def time_attention(step_fn, q, k, v, causal: bool, dtype: str = "bf16",
-                   n_chain: int = 16) -> KernelTiming:
+                   n_chain: int = 64) -> KernelTiming:
     """Time an attention step (q, k, v) -> array like q; report TFLOP/s."""
     seconds = chained_seconds(step_fn, q, k, v, n_chain=n_chain)
     b, h, t, d = q.shape

@@ -18,6 +18,12 @@ from quantizedattention_tpu.reference import reference_attention
 from quantizedattention_tpu.utils.testing import mismatch_report
 from tests.conftest import make_qkv
 
+# the whole module builds >=8-way meshes — skip on a single real chip
+# (QATTN_TEST_TPU=1 runs the suite against one TPU)
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (emulated) devices"
+)
+
 
 def test_mesh_construction():
     mesh = make_attention_mesh(data=2, model=2, context=2)

@@ -93,6 +93,7 @@ def test_dit_jvp_step_matches_oracle(rng):
     assert rel < 0.05, rel
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (emulated) devices")
 def test_sharded_train_step(rng):
     """DP x TP x SP train step on a 2x2x2 emulated mesh."""
     cfg = TransformerConfig(

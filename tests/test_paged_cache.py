@@ -155,3 +155,19 @@ def test_paged_append_inactive_never_corrupts(rng):
         np.asarray(paged.k_pages[:, 3]), np.asarray(before)
     )
     assert int(paged.lengths[0]) == 0 and int(paged.lengths[1]) == PS + 1
+
+
+def test_paged_append_at_capacity_never_clips(rng):
+    """An active row whose table is FULL must drop the write (not clip onto
+    the last page) and must not advance its length."""
+    h, d = 2, 64
+    paged = init_paged_cache(h, 4, 1, 1, d, PS)  # 1 page max per seq
+    paged = assign_pages(paged, jnp.int32(0), jnp.asarray([2], jnp.int32))
+    k1 = jax.random.normal(rng, (h, PS, d), jnp.float32)
+    paged = write_prompt_paged(paged, jnp.int32(0), k1, k1, jnp.int32(PS))
+    before = paged.k_pages[:, 2].copy()
+
+    tok = jnp.full((1, h, 1, d), 7.0, jnp.float32)
+    paged = append_token_paged(paged, tok, tok, jnp.ones((1,), bool))
+    np.testing.assert_array_equal(np.asarray(paged.k_pages[:, 2]), np.asarray(before))
+    assert int(paged.lengths[0]) == PS  # did not advance past capacity

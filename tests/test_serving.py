@@ -314,3 +314,50 @@ def test_engine_paged_matches_slotted(lm):
     for a, b in zip(r1, r2):
         assert res1[a].tokens == res2[b].tokens
     assert paged._pager.num_free == free0  # every page returned to the pool
+
+
+def test_engine_paged_pool_exhaustion_requeues(lm):
+    """A prefill that can't get pages must NOT wedge the engine: the request
+    requeues at the front and completes once earlier requests free pages."""
+    params, cfg = lm  # max_seq 128, page_size 128 -> 1 page per request
+    # pool with exactly ONE usable page: requests must run strictly serially
+    eng = ServingEngine(
+        params, cfg, n_slots=2, scheduler="python", cache="paged",
+        page_size=128, n_pages=2,
+    )
+    rids = [eng.submit([1, 2, 3], 4), eng.submit([9, 8], 3)]
+    results = eng.run()
+    assert len(results) == 2
+    for rid, p, b in zip(rids, [[1, 2, 3], [9, 8]], [4, 3]):
+        want = generate(params, jnp.asarray([p], jnp.int32), cfg, max_new_tokens=b)
+        assert results[rid].tokens == [int(t) for t in np.asarray(want[0, len(p):])]
+    assert eng._pager.num_free == 1  # the single page returned
+
+
+def test_engine_paged_rejects_request_larger_than_pool(lm):
+    params, cfg = lm
+    eng = ServingEngine(
+        params, cfg, n_slots=1, scheduler="python", cache="paged",
+        page_size=128, n_pages=2,
+    )
+    with pytest.raises(ValueError, match="pages"):
+        # needs 2 pages (>128 tokens total) but the pool has 1 usable
+        eng.submit(list(range(100)), max_new_tokens=60)
+
+
+def test_pager_double_free_ignored():
+    from quantizedattention_tpu.serve import PyPager
+    from quantizedattention_tpu.serve.scheduler import NativePager
+
+    pagers = [PyPager(4)]
+    try:
+        pagers.append(NativePager(4))
+    except Exception:
+        pass
+    for p in pagers:
+        got = p.alloc(1)
+        p.free(got)
+        p.free(got)  # double-free must be ignored, not alias the page
+        assert p.num_free == 3
+        a = p.alloc(3)
+        assert sorted(a) == [1, 2, 3]  # no duplicates handed out
