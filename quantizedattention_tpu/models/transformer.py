@@ -257,7 +257,10 @@ def prefill_slot(
     return sample_token(logits, temperature, key), new_caches
 
 
-def prefill_batched(params, caches, prompt, cfg: TransformerConfig):
+def prefill_batched(
+    params, caches, prompt, cfg: TransformerConfig,
+    temperature: float = 0.0, key=None,
+):
     """Fused prefill of a same-length batch: prompt [B, T0] through the
     causal flash kernel in one pass, K/V quantize-appended to every cache
     row (all rows must be at length 0). Returns (next_tok [B], caches)."""
@@ -274,30 +277,48 @@ def prefill_batched(params, caches, prompt, cfg: TransformerConfig):
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
     logits = x[:, -1] @ params["unembed"]
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
+    return sample_token(logits, temperature, key), new_caches
 
 
-def generate(params, prompt, cfg: TransformerConfig, max_new_tokens: int = 16):
-    """Greedy decoding with the int8 KV cache: one fused prefill pass over
-    the whole prompt, then batched single-token decode steps — the same
-    numerics as the continuous-batching engine (serve/engine.py).
+def generate(
+    params, prompt, cfg: TransformerConfig, max_new_tokens: int = 16,
+    temperature: float = 0.0, key=None,
+):
+    """Decoding with the int8 KV cache: one fused prefill pass over the
+    whole prompt, then batched single-token decode steps — the same numerics
+    as the continuous-batching engine (serve/engine.py). Greedy by default;
+    temperature > 0 (with a PRNG `key`) samples.
 
     prompt: [B, T0] int32; returns [B, T0 + max_new_tokens].
     """
+    if temperature > 0.0 and key is None:
+        raise ValueError("temperature > 0 requires a PRNG key")
     b, t0 = prompt.shape
     caches = [
         init_kv_cache(b, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
         for _ in params["layers"]
     ]
-    next_tok, caches = jax.jit(prefill_batched, static_argnames="cfg")(
-        params, caches, prompt, cfg
+
+    def next_key():
+        nonlocal key
+        if key is None or temperature == 0.0:
+            return None
+        key, sub = jax.random.split(key)
+        return sub
+
+    prefill = jax.jit(prefill_batched, static_argnames=("cfg", "temperature"))
+    next_tok, caches = prefill(
+        params, caches, prompt, cfg, temperature=temperature, key=next_key()
     )
-    decode = jax.jit(decode_step_batched, static_argnames="cfg")
+    decode = jax.jit(decode_step_batched, static_argnames=("cfg", "temperature"))
     tokens = prompt
     active = jnp.ones((b,), bool)
     for i in range(max_new_tokens):
         tokens = jnp.concatenate([tokens, next_tok[:, None]], axis=1)
         if i < max_new_tokens - 1:
             pos = jnp.full((b,), t0 + i, jnp.int32)
-            next_tok, caches = decode(params, caches, next_tok, pos, active, cfg)
+            next_tok, caches = decode(
+                params, caches, next_tok, pos, active, cfg,
+                temperature=temperature, key=next_key(),
+            )
     return tokens

@@ -115,3 +115,26 @@ def test_sharded_train_step(rng):
     params1, _, got = step(init_transformer(rng, cfg), optimizer.init(params0), tokens, targets)
     # `got` is the loss at params0 (before update)
     assert abs(float(got) - float(want)) < 2e-2, (float(got), float(want))
+
+
+def test_generate_with_temperature(rng):
+    """Sampled generation: in-vocab tokens, deterministic per key, varies
+    across keys; temperature>0 without a key is rejected."""
+    import numpy as np
+
+    from quantizedattention_tpu.models import TransformerConfig, init_transformer, generate
+
+    cfg = TransformerConfig(vocab_size=64, d_model=64, n_heads=2, n_kv_heads=2,
+                            head_dim=32, n_layers=2, max_seq=128)
+    params = init_transformer(jax.random.key(0), cfg)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+
+    a = generate(params, prompt, cfg, 8, temperature=1.0, key=jax.random.key(1))
+    a2 = generate(params, prompt, cfg, 8, temperature=1.0, key=jax.random.key(1))
+    b = generate(params, prompt, cfg, 8, temperature=1.0, key=jax.random.key(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(a.max()) < cfg.vocab_size and a.shape == (1, 11)
+
+    with pytest.raises(ValueError, match="PRNG key"):
+        generate(params, prompt, cfg, 4, temperature=0.5)
