@@ -174,6 +174,8 @@ def bench_decode(n_slots=8, ctx=1024):
     from quantizedattention_tpu.parallel.kv_cache import init_kv_cache
 
     params = init_transformer(jax.random.key(0), cfg)
+    # serving weights in bf16 (decode is weight-HBM-bound: measured 1.5x)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
     caches = [init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
               for _ in params["layers"]]
     prompt = jax.random.randint(jax.random.key(2), (n_slots, ctx), 0, cfg.vocab_size)

@@ -361,3 +361,16 @@ def test_pager_double_free_ignored():
         assert p.num_free == 3
         a = p.alloc(3)
         assert sorted(a) == [1, 2, 3]  # no duplicates handed out
+
+
+def test_engine_param_dtype_bf16(lm):
+    """bf16 serving weights: engine completes and tokens stay in-vocab
+    (numerics shift vs f32, so no exact-parity claim — perf option)."""
+    params, cfg = lm
+    eng = ServingEngine(
+        params, cfg, n_slots=2, scheduler="python", param_dtype=jnp.bfloat16
+    )
+    rid = eng.submit([1, 2, 3, 4], max_new_tokens=6)
+    res = eng.run()[rid]
+    assert len(res.tokens) == 6
+    assert all(0 <= t < cfg.vocab_size for t in res.tokens)
