@@ -15,6 +15,7 @@ device). The TPU build scales the same kernels across a pod slice:
 """
 
 from quantizedattention_tpu.parallel.mesh import make_attention_mesh
+from quantizedattention_tpu.parallel.multihost import initialize_multihost, make_pod_mesh
 from quantizedattention_tpu.parallel.sharded import make_sharded_attention
 from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_attention
 from quantizedattention_tpu.parallel.ulysses import ulysses_attention, make_ulysses_attention
@@ -43,6 +44,8 @@ from quantizedattention_tpu.parallel.kv_cache import (
 
 __all__ = [
     "make_attention_mesh",
+    "initialize_multihost",
+    "make_pod_mesh",
     "make_sharded_attention",
     "ring_attention",
     "make_ring_attention",

@@ -204,3 +204,24 @@ def test_kv_sharded_attention(rng, causal):
     want = reference_attention(q, k, v, causal=causal)
     rep = mismatch_report(f"kv-sharded causal={causal}", o, want, atol=1e-2)
     assert rep.mismatch_rate <= 2e-3, rep
+
+
+def test_pod_mesh_single_slice_equivalence(rng):
+    """make_pod_mesh degrades to the single-slice mesh on one process, and
+    the sharded attention built on it matches the oracle."""
+    from quantizedattention_tpu.parallel import make_pod_mesh
+
+    mesh = make_pod_mesh(data_dcn=1, data=2, model=2, context=2)
+    assert mesh.shape == {"data": 2, "model": 2, "context": 2}
+    q, k, v, _ = make_qkv(rng, batch=2, head=2, q_tokens=256)
+    fn = make_ring_attention(mesh, kind="bf16", causal=True)
+    rep = mismatch_report("pod-mesh ring", fn(q, k, v),
+                          reference_attention(q, k, v, causal=True), atol=1e-2)
+    assert rep.mismatch_rate <= 2e-3, rep
+
+
+def test_pod_mesh_validates_device_count():
+    from quantizedattention_tpu.parallel import make_pod_mesh
+
+    with pytest.raises(ValueError, match="devices"):
+        make_pod_mesh(data_dcn=3, data=5, model=1, context=1)
