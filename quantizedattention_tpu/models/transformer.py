@@ -221,6 +221,38 @@ def decode_step_batched(
     return sample_token(logits, temperature, key), new_caches
 
 
+def decode_horizon_batched(
+    params, caches, last_tok, pos, active, cfg: TransformerConfig,
+    horizon: int, temperature: float = 0.0, key=None,
+):
+    """Run `horizon` chained decode steps in ONE jit and bank every step's
+    token: returns (tokens [horizon, n_slots], caches, last_tok, pos).
+
+    The serving engine uses this to amortize the host round-trip of fetching
+    each step's tokens (EOS/budget checks happen on the host): slots that
+    finish mid-horizon keep decoding into their own cache — harmless, since
+    a finished slot is reset by the next prefill and over-capacity paged
+    writes drop — and the host discards their surplus tokens.
+    """
+    bank = jnp.zeros((horizon, last_tok.shape[0]), jnp.int32)
+
+    def step(i, state):
+        bank, caches, last_tok, pos = state
+        k_i = None if key is None else jax.random.fold_in(key, i)
+        nxt, caches = decode_step_batched(
+            params, caches, last_tok, pos, active, cfg,
+            temperature=temperature, key=k_i,
+        )
+        return bank.at[i].set(nxt), caches, nxt, pos + active.astype(jnp.int32)
+
+    # python loop (horizon is small + static): lets the cache pytree thread
+    # through without fori_loop shape gymnastics; jit unrolls it
+    state = (bank, caches, last_tok, pos)
+    for i in range(horizon):
+        state = step(i, state)
+    return state
+
+
 def prefill_slot(
     params, caches, tokens, true_len, slot, cfg: TransformerConfig,
     temperature: float = 0.0, key=None,

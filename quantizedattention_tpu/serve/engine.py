@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from quantizedattention_tpu.models.transformer import (
     TransformerConfig,
+    decode_horizon_batched,
     decode_step_batched,
     prefill_slot,
     rmsnorm,
@@ -98,6 +99,7 @@ class ServingEngine:
         page_size: int = 128,
         n_pages: int | None = None,
         param_dtype=None,
+        decode_horizon: int = 1,
     ):
         if param_dtype is not None:
             # serving needs no f32 master weights; bf16 halves weight HBM
@@ -111,6 +113,7 @@ class ServingEngine:
         self.cfg = cfg
         self.n_slots = n_slots
         self.eos_id = eos_id
+        self.decode_horizon = decode_horizon
         self.temperature = temperature
         self._key = jax.random.key(seed) if temperature > 0.0 else None
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
@@ -150,6 +153,8 @@ class ServingEngine:
         pos = jnp.zeros((n_slots,), jnp.int32)
         active = jnp.zeros((n_slots,), bool)
 
+        if decode_horizon > 1 and mesh is not None:
+            raise ValueError("decode_horizon > 1 is single-host for now")
         if mesh is not None:
             # "continuous batching across hosts": slots sharded over `data`,
             # heads over `model`. The batched decode step is an explicit
@@ -168,6 +173,12 @@ class ServingEngine:
         else:
             self._decode = jax.jit(
                 functools.partial(decode_step_batched, cfg=cfg, temperature=temperature)
+            )
+            self._decode_horizon = jax.jit(
+                functools.partial(
+                    decode_horizon_batched, cfg=cfg,
+                    horizon=decode_horizon, temperature=temperature,
+                )
             )
         self.params = params
         self.caches = caches
@@ -301,6 +312,20 @@ class ServingEngine:
 
     def _do_decode(self):
         active_before = [i for i in range(self.n_slots) if self._slot_req[i] >= 0]
+        if self.decode_horizon > 1:
+            # K chained steps in one jit; ONE host fetch banks K tokens.
+            # Slots that finish mid-horizon have their surplus discarded
+            # (they kept decoding into their own soon-to-be-reset cache).
+            bank, self.caches, self.last_tok, self.pos = self._decode_horizon(
+                self.params, self.caches, self.last_tok, self.pos, self.active,
+                key=self._next_key(),
+            )
+            toks = np.asarray(bank)  # [horizon, n_slots]
+            for step_toks in toks:
+                for slot in active_before:
+                    if self._slot_req[slot] >= 0:  # not finished mid-horizon
+                        self._record(slot, int(step_toks[slot]))
+            return
         next_tok, self.caches = self._decode(
             self.params, self.caches, self.last_tok, self.pos, self.active,
             key=self._next_key(),

@@ -374,3 +374,42 @@ def test_engine_param_dtype_bf16(lm):
     res = eng.run()[rid]
     assert len(res.tokens) == 6
     assert all(0 <= t < cfg.vocab_size for t in res.tokens)
+
+
+@pytest.mark.parametrize("cache", ["slotted", "paged"])
+def test_engine_decode_horizon_matches_single_step(lm, cache):
+    """horizon=4 (4 chained decode steps per host fetch) must produce the
+    same greedy tokens as horizon=1, including EOS/budget finishing
+    mid-horizon and slot reuse afterwards."""
+    params, cfg = lm
+    prompts = [[1, 2, 3], [10, 20, 30, 40], [5] * 9, [62, 61]]
+    budgets = [6, 5, 7, 3]  # deliberately NOT multiples of the horizon
+
+    base = ServingEngine(params, cfg, n_slots=2, scheduler="python", cache=cache)
+    r1 = [base.submit(p, b) for p, b in zip(prompts, budgets)]
+    res1 = base.run()
+
+    fast = ServingEngine(
+        params, cfg, n_slots=2, scheduler="python", cache=cache, decode_horizon=4
+    )
+    r2 = [fast.submit(p, b) for p, b in zip(prompts, budgets)]
+    res2 = fast.run()
+
+    for a, b in zip(r1, r2):
+        assert res1[a].tokens == res2[b].tokens
+        assert res1[a].finish_reason == res2[b].finish_reason
+
+
+def test_engine_decode_horizon_eos(lm):
+    params, cfg = lm
+    prompt = [1, 2, 3, 4]
+    ref = generate(params, jnp.asarray([prompt], jnp.int32), cfg, max_new_tokens=6)
+    ref_tokens = [int(t) for t in np.asarray(ref[0, len(prompt):])]
+    eos = ref_tokens[2]  # EOS lands mid-horizon
+    eng = ServingEngine(
+        params, cfg, n_slots=1, eos_id=eos, scheduler="python", decode_horizon=4
+    )
+    rid = eng.submit(prompt, max_new_tokens=10)
+    res = eng.run()[rid]
+    assert res.finish_reason == "eos"
+    assert res.tokens == ref_tokens[: ref_tokens.index(eos) + 1]
