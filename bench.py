@@ -213,6 +213,11 @@ def main():
     bench_shape(8, 35, 1024, 64, causal=True)
     bench_train_step()
     bench_decode()
+    # BASELINE config 3's upper bound (detail; the SDPA anchor collapses to
+    # ~0.3 TFLOP/s materializing 8192^2 scores while the kernels hold
+    # ~30-38 TFLOP/s -> ~100x; the headline stays at 4096 where the anchor
+    # is still a meaningful comparison)
+    bench_shape(2, 8, 8192, 64, causal=True)
     # BASELINE config 3's long-sequence regime (headline)
     t_sdpa, t_bf16, t_int8, ok = bench_shape(4, 16, 4096, 64, causal=True)
 
