@@ -190,6 +190,8 @@ class ServingEngine:
         )
 
         self._next_id = 0
+        self._tokens_generated = 0
+        self._last_run_tokens_per_s = None
         self._budgets: dict[int, int] = {}
         self._prompts: dict[int, list[int]] = {}
         self._outputs: dict[int, list[int]] = {}
@@ -226,10 +228,32 @@ class ServingEngine:
 
     def run(self) -> dict[int, GenerationResult]:
         """Drive steps until queue and slots drain; returns all results."""
+        import time
+
+        t0 = time.perf_counter()
+        n0 = self._tokens_generated
         while self.step():
             pass
+        dt = time.perf_counter() - t0
+        if dt > 0:
+            self._last_run_tokens_per_s = (self._tokens_generated - n0) / dt
         out, self._finished = self._finished, {}
         return out
+
+    def stats(self) -> dict:
+        """Serving observability: queue/slot occupancy, token + page counts."""
+        s = {
+            "active": self.sched.num_active,
+            "waiting": self.sched.num_waiting,
+            "completed": self.sched.num_completed,
+            "tokens_generated": self._tokens_generated,
+            "last_run_tokens_per_s": self._last_run_tokens_per_s,
+            "cache": self.cache_kind,
+            "decode_horizon": self.decode_horizon,
+        }
+        if self._pager is not None:
+            s["pages_free"] = self._pager.num_free
+        return s
 
     # -- engine side ---------------------------------------------------------
 
@@ -247,6 +271,7 @@ class ServingEngine:
     def _record(self, slot: int, token: int):
         rid = self._slot_req[slot]
         self._outputs[rid].append(token)
+        self._tokens_generated += 1
         is_eos = self.eos_id is not None and token == self.eos_id
         if self.sched.report_token(slot, is_eos):
             self._finished[rid] = GenerationResult(

@@ -413,3 +413,18 @@ def test_engine_decode_horizon_eos(lm):
     res = eng.run()[rid]
     assert res.finish_reason == "eos"
     assert res.tokens == ref_tokens[: ref_tokens.index(eos) + 1]
+
+
+def test_engine_stats(lm):
+    params, cfg = lm
+    eng = ServingEngine(params, cfg, n_slots=2, scheduler="python", cache="paged")
+    eng.submit([1, 2, 3], 4)
+    eng.submit([5, 6], 3)
+    s0 = eng.stats()
+    assert s0["waiting"] == 2 and s0["active"] == 0 and s0["completed"] == 0
+    eng.run()
+    s1 = eng.stats()
+    assert s1["completed"] == 2 and s1["active"] == 0
+    assert s1["tokens_generated"] == 7
+    assert s1["last_run_tokens_per_s"] > 0
+    assert s1["pages_free"] == s0["pages_free"]  # all pages returned
