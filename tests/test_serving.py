@@ -428,3 +428,26 @@ def test_engine_stats(lm):
     assert s1["tokens_generated"] == 7
     assert s1["last_run_tokens_per_s"] > 0
     assert s1["pages_free"] == s0["pages_free"]  # all pages returned
+
+
+def test_engine_soak_random_workload(lm):
+    """Soak: 20 random requests through 3 slots with paged cache + horizon,
+    every output equal to its own single-request generate run, and the page
+    pool fully drained back."""
+    params, cfg = lm
+    rng = random.Random(3)
+    prompts = [[rng.randrange(cfg.vocab_size) for _ in range(rng.randint(1, 30))]
+               for _ in range(20)]
+    budgets = [rng.randint(1, 12) for _ in range(20)]
+    eng = ServingEngine(
+        params, cfg, n_slots=3, scheduler="native", cache="paged",
+        decode_horizon=3,
+    )
+    free0 = eng._pager.num_free
+    rids = [eng.submit(p, b) for p, b in zip(prompts, budgets)]
+    results = eng.run()
+    assert len(results) == 20
+    assert eng._pager.num_free == free0
+    for rid, p, b in zip(rids, prompts, budgets):
+        want = generate(params, jnp.asarray([p], jnp.int32), cfg, max_new_tokens=b)
+        assert results[rid].tokens == [int(t) for t in np.asarray(want[0, len(p):])], rid
