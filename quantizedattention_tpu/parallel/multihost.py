@@ -32,15 +32,22 @@ def initialize_multihost(
 
     With no arguments, relies on the TPU pod launcher's environment
     (the standard `jax.distributed.initialize()` auto-detection). No-op if
-    the runtime is already initialized or the run is single-process.
+    the runtime is already initialized. Must run before any JAX computation
+    touches a backend — probing jax.devices()/process_count() here would
+    lock in a local-only runtime, so the check uses
+    jax.distributed.is_initialized() only.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    if jax.distributed.is_initialized():
+        return  # already initialized (by the launcher or a prior call)
+    explicit = coordinator_address is not None
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except (ValueError, RuntimeError):
-        # single-process run (dev box / tests): nothing to initialize
-        pass
+        if explicit:
+            # a typo'd coordinator or late call must not silently degrade
+            # into N independent single-host runs
+            raise
+        # auto-detection found no cluster: single-process run
 
 
 def make_pod_mesh(
