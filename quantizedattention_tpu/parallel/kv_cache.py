@@ -169,8 +169,13 @@ def _decode_kernel(
 
     @pl.when(k_start < length)
     def _body():
-        q = q_ref[0]                          # [h, group, d] f32
-        k_f = k_ref[0].astype(jnp.float32)    # [h, block_kv, d] (unscaled)
+        # int8 payloads are EXACT in bf16 (integers <= 127 fit an 8-bit
+        # mantissa), so the dots run at bf16 MXU rate with f32 accumulation;
+        # only q / p round to bf16 — the same rounding the training kernel's
+        # P takes. HIGHEST-precision f32 here cost 6 MXU passes for zero
+        # extra information on the K/V side.
+        q = q_ref[0].astype(jnp.bfloat16)     # [h, group, d]
+        k_f = k_ref[0].astype(jnp.bfloat16)   # [h, block_kv, d] (unscaled)
         sk = sk_ref[0]                        # [h, block_kv] — lane-aligned
 
         # Per-token K scales apply on the LANE axis of S (not on K itself):
@@ -179,7 +184,6 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k_f, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         ) * (sk[:, None, :] * qk_scale)  # [h, group, block_kv]
 
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -194,10 +198,10 @@ def _decode_kernel(
         # V scales fold into P along its lane (token) axis before the dot:
         # Σ_t p[t]·sv[t]·v_i8[t,d] == Σ_t p[t]·v_f[t,d]
         pv = jax.lax.dot_general(
-            p * sv_ref[0][:, None, :], v_ref[0].astype(jnp.float32),
+            (p * sv_ref[0][:, None, :]).astype(jnp.bfloat16),
+            v_ref[0].astype(jnp.bfloat16),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
         m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)

@@ -193,14 +193,14 @@ def _paged_decode_kernel(
 
     @pl.when(k_start < length)
     def _body():
-        q = q_ref[0]                         # [h, group, d]
-        k_f = k_ref[:, 0].astype(jnp.float32)  # [h, ps, d] (unscaled)
+        # bf16-rate dots: int8 payloads are exact in bf16 (see kv_cache.py)
+        q = q_ref[0].astype(jnp.bfloat16)    # [h, group, d]
+        k_f = k_ref[:, 0].astype(jnp.bfloat16)  # [h, ps, d] (unscaled)
         sk = sk_ref[0]                       # [h, ps] — lane-aligned
 
         s = jax.lax.dot_general(
             q, k_f, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         ) * (sk[:, None, :] * qk_scale)      # [h, group, ps]
 
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
@@ -213,10 +213,10 @@ def _paged_decode_kernel(
         alpha = jnp.exp2(m_prev - next_m)
         l_next = l_scr[...][:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p * sv_ref[0][:, None, :], v_ref[:, 0].astype(jnp.float32),
+            (p * sv_ref[0][:, None, :]).astype(jnp.bfloat16),
+            v_ref[:, 0].astype(jnp.bfloat16),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
         m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)

@@ -121,7 +121,7 @@ def test_decode_return_lse_merge_identity(rng):
     w2 = jnp.where(jnp.isfinite(l2), jnp.exp2(l2 - m_safe), 0.0)
     den = jnp.where(w1 + w2 == 0.0, 1.0, w1 + w2)
     got = (o1 * w1[..., None] + o2 * w2[..., None]) / den[..., None]
-    assert jnp.max(jnp.abs(got - want)) < 1e-4  # f32 merge rounding; 1.1e-5 measured on v5e
+    assert jnp.max(jnp.abs(got - want)) < 2e-3  # bf16-rate dots: split boundaries shift bf16 rounding
 
 
 def test_context_sharded_decode_matches_unsharded(rng):
@@ -164,4 +164,4 @@ def test_context_sharded_decode_matches_unsharded(rng):
         return context_sharded_decode(q_, cache_, "context", block_kv=128)
 
     got = sharded(q, cache)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)  # bf16-rate dots

@@ -100,7 +100,7 @@ def test_paged_decode_matches_dense_with_shuffled_pages(rng):
             paged, jnp.int32(s), ks[s], vs[s], jnp.int32(lengths[s])
         )
     got = paged_decode_attention(q, paged)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)  # bf16-rate dots, different tilings
 
 
 def test_paged_append_across_page_boundary(rng):
