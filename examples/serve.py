@@ -1,0 +1,47 @@
+"""Serve an LM with continuous batching (paged int8 KV cache, C++ scheduler).
+
+python examples/serve.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from quantizedattention_tpu.models import TransformerConfig, init_transformer
+from quantizedattention_tpu.serve import ServingEngine
+
+
+def main():
+    cfg = TransformerConfig(
+        vocab_size=512, d_model=256, n_heads=4, n_kv_heads=2, head_dim=64,
+        n_layers=2, max_seq=512, attention="bf16",
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+
+    eng = ServingEngine(
+        params, cfg,
+        n_slots=4,                     # concurrent sequences
+        cache="paged",                 # vLLM-style paged int8 KV cache
+        param_dtype=jnp.bfloat16,      # serving weights (1.5x decode)
+        decode_horizon=8,              # tokens per host round-trip
+        temperature=0.8, seed=0,       # sampling (0.0 = greedy)
+        eos_id=2,
+    )
+    requests = [
+        eng.submit([1, 17, 42, 100], max_new_tokens=32),
+        eng.submit([5, 5, 5], max_new_tokens=16),
+        eng.submit(list(range(10, 40)), max_new_tokens=24),
+    ]
+    results = eng.run()
+    for rid in requests:
+        r = results[rid]
+        print(f"request {rid} [{r.finish_reason}]: {r.tokens}")
+    print("stats:", eng.stats())
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,8 @@ class GenerationResult:
     prompt: list[int]
     tokens: list[int]          # generated tokens (includes EOS if hit)
     finish_reason: str         # "eos" | "length"
+    ttft_s: float | None = None      # submit -> first token (time-to-first-token)
+    duration_s: float | None = None  # submit -> completion
 
 
 def _bucket(n: int, minimum: int = 16) -> int:
@@ -190,6 +193,8 @@ class ServingEngine:
         )
 
         self._next_id = 0
+        self._submitted_at: dict[int, float] = {}
+        self._ttft: dict[int, float] = {}
         self._tokens_generated = 0
         self._last_run_tokens_per_s = None
         self._budgets: dict[int, int] = {}
@@ -224,12 +229,11 @@ class ServingEngine:
         self._prompts[rid] = prompt
         self._outputs[rid] = []
         self._budgets[rid] = max_new_tokens
+        self._submitted_at[rid] = time.perf_counter()
         return rid
 
     def run(self) -> dict[int, GenerationResult]:
         """Drive steps until queue and slots drain; returns all results."""
-        import time
-
         t0 = time.perf_counter()
         n0 = self._tokens_generated
         while self.step():
@@ -272,6 +276,9 @@ class ServingEngine:
         rid = self._slot_req[slot]
         self._outputs[rid].append(token)
         self._tokens_generated += 1
+        now = time.perf_counter()
+        if rid not in self._ttft:
+            self._ttft[rid] = now - self._submitted_at[rid]
         is_eos = self.eos_id is not None and token == self.eos_id
         if self.sched.report_token(slot, is_eos):
             self._finished[rid] = GenerationResult(
@@ -279,6 +286,8 @@ class ServingEngine:
                 prompt=self._prompts.pop(rid),
                 tokens=self._outputs.pop(rid),
                 finish_reason="eos" if is_eos else "length",
+                ttft_s=self._ttft.pop(rid),
+                duration_s=now - self._submitted_at.pop(rid),
             )
             self._budgets.pop(rid, None)
             self._slot_req[slot] = -1

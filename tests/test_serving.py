@@ -461,3 +461,12 @@ def test_engine_soak_random_workload(lm):
     assert eng._pager.num_free == free0
     for a, b in zip(r0, rids):
         assert want[a].tokens == results[b].tokens, (a, b)
+
+
+def test_engine_latency_metrics(lm):
+    params, cfg = lm
+    eng = ServingEngine(params, cfg, n_slots=1, scheduler="python")
+    rid = eng.submit([1, 2, 3], 4)
+    res = eng.run()[rid]
+    assert res.ttft_s is not None and res.duration_s is not None
+    assert 0 < res.ttft_s <= res.duration_s
