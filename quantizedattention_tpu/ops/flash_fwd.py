@@ -175,9 +175,12 @@ def _fwd_kernel(
         l = l_scr[...][:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        # lse carries a broadcast 128-lane trailing dim (TPU tiling requires
-        # the last dim be 128-aligned); the wrapper slices [..., 0].
-        lse_ref[0] = jnp.broadcast_to(m_scr[...][:, :1] + jnp.log2(l_safe), lse_ref.shape[1:])
+        # lse rides with TOKENS ON LANES: a [block_q, 1] column broadcast to
+        # 128 lanes costs 128x the bytes (134 MB at (4,16,4096,64) — measured
+        # as real HBM traffic); transposing to a [8, block_q] row tile writes
+        # 8x tokens instead. The wrapper slices [:, 0, :].
+        lse = m_scr[...][:, :1] + jnp.log2(l_safe)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
 
 
 @functools.partial(
@@ -275,11 +278,11 @@ def flash_attention_fwd(
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, padded_q, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((bh, padded_q, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, padded_q), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -293,5 +296,5 @@ def flash_attention_fwd(
     )(qoff, koff, q3, k3, v3)
 
     o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
-    lse = lse[:, :q_tokens, 0].reshape(batch, head, q_tokens)
+    lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)
     return o, lse

@@ -3,9 +3,16 @@
 TPU-native re-design of the reference's `helion_atten_int8_hl_dot_bwd`
 (attention_int8.py:264-432): recomputes S from the *forward's* quantized
 Q/K blocks and scales (no re-quantization of Q/K/V — the residual contract of
-attention_int8.py:58-65), then runs all four backward matmuls on the MXU in
-int8 with int32 accumulation, quantizing P, dO, and dS per tile with
-symmetric absmax/127.
+attention_int8.py:58-65), then runs all four backward matmuls on the MXU.
+
+**TPU-first matmul strategy (measured, v5e — see ops/int8_fwd.py):** Mosaic
+int8->int32 dots run ~0.7x the bf16 MXU rate, so quantizing dO/dS/P to int8
+(the reference's per-tile absmax, attention_int8.py:363-374, 403-405) would
+buy no rate and cost VPU passes + gradient error. The int8 *residuals*
+(Q/K/V payloads + scales) are kept — that is the memory/recompute contract —
+and every matmul runs on bf16 operands with f32 accumulation: the int8-valued
+Q/K payloads cast to bf16 exactly; dO/dS/P stay bf16 (same precision class as
+this repo's fast bf16 backward, flash_bwd.py).
 
 Structure: two race-free kernels like the fp32 backward —
   * dKV: grid (b·h, kv_blocks, q_blocks), accumulates dK/dV in VMEM scratch;
@@ -30,39 +37,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from quantizedattention_tpu.ops.common import pad_tokens, qk_scales, tile_mask
-from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
+from quantizedattention_tpu.tune.config import BlockConfig
 from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
 
 _LANES = 128
 
 
-def _int8_dot(a_i8, b_i8, dims):
+def _bf_dot(a, b, dims):
+    """bf16-rate MXU matmul with f32 accumulation (exact on int8 payloads)."""
     return jax.lax.dot_general(
-        a_i8, b_i8, (dims, ((), ())), preferred_element_type=jnp.int32
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        (dims, ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
-def _row_quant(x, lo=-127.0, hi=127.0):
-    """Per-row absmax/127 int8 quantization — rows survive contractions over
-    columns, so the row scale factors exactly out of dS@K and dO@Vᵀ (a
-    granularity upgrade over the reference's per-tile scales,
-    attention_int8.py:363-374, at zero extra matmul cost)."""
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
-    x_i8 = jnp.clip(jnp.round(x / s), lo, hi).astype(jnp.int8)
-    return x_i8, s
-
-
-def _col_quant(x, lo=-127.0, hi=127.0):
-    """Per-column absmax/127 int8 quantization — columns (kv index) survive
-    the contraction over q in dV = Pᵀ dO and dK = dSᵀ Q, so the column scale
-    factors exactly out of those matmuls."""
-    s = jnp.maximum(jnp.max(jnp.abs(x), axis=0, keepdims=True), 1e-12) / 127.0
-    x_i8 = jnp.clip(jnp.round(x / s), lo, hi).astype(jnp.int8)
-    return x_i8, s
-
-
 def _recompute_p_int8(q_i8, k_i8, sq, sk, lse, mask, qk_scale):
-    s = _int8_dot(q_i8, k_i8, ((1,), (1,))).astype(jnp.float32) * (sq * sk * qk_scale)
+    s = _bf_dot(q_i8, k_i8, ((1,), (1,))) * (sq * sk * qk_scale)
     p = jnp.exp2(s - lse)
     return jnp.where(mask, p, 0.0)
 
@@ -95,24 +87,16 @@ def _int8_dkv_kernel(
         mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
         p = _recompute_p_int8(q_ref[0], k_ref[0], sq, sk, lse, mask, qk_scale)
 
-        # dV += Pᵀ dO in bf16: P is near-uniform on typical data, so the
-        # contraction averages dO toward zero and int8 noise would swamp the
-        # small signal — SageAttention3 likewise keeps the dV matmul in half
-        # precision while quantizing the rest (arXiv:2505.11594).
-        dv_scr[...] += jax.lax.dot_general(
-            p.astype(jnp.bfloat16), do.astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        # dP = dO Vᵀ (int8, contract head_dim) — per-row dO scale factors out
-        do_i8r, sdo_row = _row_quant(do)
-        dp = _int8_dot(do_i8r, v_ref[0], ((1,), (1,))).astype(jnp.float32) * (sdo_row * sv)
+        # dV += Pᵀ dO: P is near-uniform on typical data, so the contraction
+        # averages dO toward zero and int8 noise would swamp the small signal
+        # — SageAttention3 likewise keeps the dV matmul in half precision
+        # (arXiv:2505.11594); here *all* operands are bf16 (module doc).
+        dv_scr[...] += _bf_dot(p, do, ((0,), (0,)))
+        # dP = dO Vᵀ (contract head_dim); V payload is exact int8-in-bf16
+        dp = _bf_dot(do, v_ref[0], ((1,), (1,))) * sv
         ds = p * (dp - di) * sm_scale
-        ds_i8, sds_col = _col_quant(ds)
-        # dK += dSᵀ Q (int8, contract q)
-        dk_scr[...] += (
-            _int8_dot(ds_i8, q_ref[0], ((0,), (0,))).astype(jnp.float32)
-            * (jnp.transpose(sds_col) * sq)
-        )
+        # dK += dSᵀ Q (contract q); Q payload exact, per-block scale sq
+        dk_scr[...] += _bf_dot(ds, q_ref[0], ((0,), (0,))) * sq
 
     if causal:
         pl.when(q_start + block_q - 1 >= k_start)(_body)
@@ -150,15 +134,13 @@ def _int8_dq_kernel(
 
         mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
         p = _recompute_p_int8(q_ref[0], k_ref[0], sq, sk, lse, mask, qk_scale)
-        # per-row scales factor exactly out of both q-row-preserving matmuls
-        do_i8r, sdo_row = _row_quant(do_ref[0])
-        dp = _int8_dot(do_i8r, v_ref[0], ((1,), (1,))).astype(jnp.float32) * (sdo_row * sv)
+        dp = _bf_dot(do_ref[0], v_ref[0], ((1,), (1,))) * sv
         ds = p * (dp - di) * sm_scale
-        ds_i8, sds_row = _row_quant(ds)
-        # dQ += dS K_smoothed (int8, contract kv) ...
-        dq = _int8_dot(ds_i8, k_ref[0], ((1,), (0,))).astype(jnp.float32) * (sds_row * sk)
+        # dQ += dS K_smoothed (contract kv; K payload exact int8-in-bf16) ...
+        dq = _bf_dot(ds, k_ref[0], ((1,), (0,))) * sk
         # ... + rowsum(dS)·k_mean — undoes K-smoothing in the gradient
-        # (exact for unquantized dS since its rows sum to 0; SageAttention3).
+        # (dS rows sum to ~0, so this term is a small correction;
+        # SageAttention3).
         dq += jnp.sum(ds, axis=-1, keepdims=True) * k_mean_ref[0]
         dq_scr[...] += dq
 
@@ -199,17 +181,20 @@ def int8_attention_bwd(
         interpret = use_interpret_mode()
     (q_i8, sq), (k_i8, sk), (v_i8, sv) = residuals
     batch, head, q_tokens, kv_len, head_dim = dims
-    if config is None:
-        config = default_block_config("int8", q_tokens, kv_len)
-    # The backward reuses the forward's quantization, so its tiling is pinned
-    # to the forward block sizes (the reference threads (Bq,Bkv) through
-    # ctx.args for the same reason, attention_int8.py:65,81).
-    block_q, block_kv = config.block_q, config.block_kv
+    del config  # tiling is fully determined by the residuals (below)
     sm_scale, qk_scale = qk_scales(head_dim, sm_scale)
 
     bh = batch * head
     f32 = jnp.float32
     padded_q, padded_kv = q_i8.shape[1], k_i8.shape[1]
+    # The backward reuses the forward's quantization, so its tiling is pinned
+    # to the quantization grain, read off the scale tables (the reference
+    # threads (Bq,Bkv) through ctx.args for the same reason,
+    # attention_int8.py:65,81). The forward's large DMA block_kv is
+    # irrelevant here — a [block_q, block_kv] P tile at block_kv=8192 would
+    # blow VMEM; the grain (default 1024) is the measured bwd optimum.
+    block_q = padded_q // sq.shape[1]
+    block_kv = padded_kv // sk.shape[1]
     num_q_blocks = cdiv(padded_q, block_q)
     num_kv_blocks = cdiv(padded_kv, block_kv)
 

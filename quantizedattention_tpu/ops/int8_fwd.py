@@ -1,11 +1,27 @@
 """SageAttention3-style INT8 flash-attention forward (Pallas/Mosaic).
 
 TPU-native re-design of the reference's `helion_atten_int8_hl_dot_fwd`
-(attention_int8.py:97-262): per-block symmetric int8 quantization of Q/K/V,
-QKᵀ and PV matmuls on the MXU in int8 with int32 accumulation (the TPU
-counterpart of `hl.dot(int8, int8) -> int32` on CUDA tensor cores), online
-softmax in f32, and per-q-row quantization of P with scale
-sp = exp2(rowmax(S) − m)/127 (attention_int8.py:227-237).
+(attention_int8.py:97-262): per-block symmetric int8 quantization of Q/K/V
+fused into a single Pallas pass, QKᵀ and PV matmuls on int8 payloads, online
+softmax in f32.
+
+**TPU-first matmul strategy (measured, v5e):** Mosaic lowers
+`dot(int8, int8) -> int32` at ~0.7x the bf16 MXU rate (22.9 vs 31.8 TFLOP/s
+at contraction depth 512, this round's microbenchmark) — unlike CUDA tensor
+cores there is no int8 rate advantage to chase. Integer payloads in
+[-127, 127] are *exactly* representable in bf16 (8-bit mantissa), their
+products (< 2^14) are exact, and the MXU accumulates in f32 where integer
+sums below 2^24 stay exact — so every "int8" matmul here casts the int8
+payload to bf16 and runs at full bf16 rate with bit-identical integer
+results. The reference's `hl.dot(int8, int8)` (attention_int8.py:197) maps
+to CUDA hardware reality; this maps to TPU hardware reality.
+
+For the same reason P is NOT quantized to int8 (the reference's per-q-row
+sp = exp2(rowmax − m)/127, attention_int8.py:227-237): SageAttention3
+quantizes P to feed FP4/int8 tensor cores; on the TPU MXU the PV matmul
+already runs at the same rate with P in bf16, so quantizing P would add VPU
+work and quantization error for zero rate gain. P here is the bf16
+exp2(s − m) tile — strictly more accurate than the reference.
 
 Structural fixes vs the reference (SURVEY.md §2.3):
   * Q4 — the reference flattens [b,h,t,d] to [b·h·t, d] and lets softmax mix
@@ -13,8 +29,9 @@ Structural fixes vs the reference (SURVEY.md §2.3):
     is per-(batch, head): grid (b·h, q_blocks, kv_blocks).
   * Q7 — the reference re-quantizes Q on every kv iteration
     (attention_int8.py:178-186); here Q/K/V are quantized once, per block,
-    in a separate vectorized pass whose block granularity equals the kernel's
-    (the reference ties them the same way by threading (Bq,Bkv) to backward).
+    in one fused Pallas pass (`quantize_int8_blocks_fused`) whose block
+    granularity equals the kernel's (the reference ties them the same way by
+    threading (Bq,Bkv) to backward).
   * The quantized blocks and scales are first-class outputs reused by the
     backward — the same residual contract as the reference's
     ctx.save_for_backward of (q_int8, k_int8ᵀ, v_int8, scales)
@@ -34,19 +51,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from quantizedattention_tpu.ops.common import MASK_VALUE, pad_tokens, qk_scales, tile_mask
-from quantizedattention_tpu.quantize.int8 import quantize_int8_blocks
+from quantizedattention_tpu.ops.common import pad_tokens, qk_scales, tile_mask
+from quantizedattention_tpu.quantize.bf16_correction import EPS_BIAS
+from quantizedattention_tpu.quantize.int8 import quantize_int8_blocks_fused
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
 
 _LANES = 128
-
-
-def _int8_dot(a_i8, b_i8, dims):
-    """int8 x int8 -> int32 on the MXU (the hl.dot counterpart)."""
-    return jax.lax.dot_general(
-        a_i8, b_i8, (dims, ((), ())), preferred_element_type=jnp.int32
-    )
 
 
 def _int8_fwd_kernel(
@@ -73,47 +84,64 @@ def _int8_fwd_kernel(
     # Two-level kv tiling (see flash_fwd): DMA at block_kv, compute and
     # causal-skip at block_sub granularity. One scale per DMA block (the
     # quantization granularity) covers all of its subtiles.
+    q_bf = q_ref[0].astype(jnp.bfloat16)
+
     def _subtile(j):
         sub_start = k_start + j * block_sub
 
         def _sub_body():
             sq = sq_ref[b, qi]
-            sk = sk_ref[b, kj]
-            sv = sv_ref[b, kj]
+            # K/V are quantized at block_sub (compute-subtile) granularity so
+            # the backward can tile independently of the (large, DMA-sized)
+            # block_kv; the scale table is indexed by absolute subtile.
+            sk = sk_ref[b, kj * (block_kv // block_sub) + j]
+            sv = sv_ref[b, kj * (block_kv // block_sub) + j]
+            # per-(q-block, k-block) dequant scale; c > 0, so masking and the
+            # row max can run in the RAW int-product domain and the scale
+            # folds into the exp2 operand chain (mul+sub+exp2 fuse into one
+            # VPU pass) — the int8 kernel then runs the same number of
+            # full-tile VPU passes as the bf16 kernel, where a standalone
+            # `s = qk * c` dequant pass measurably lost the race to it.
+            c = sq * sk * qk_scale
 
             k_sub = k_ref[0, pl.ds(j * block_sub, block_sub), :]
-            qk_i32 = _int8_dot(q_ref[0], k_sub, ((1,), (1,)))
-            # dequantize straight to f32 — fp16 intermediates would overflow
-            # (the reference notes the same at attention_int8.py:200-202)
-            s = qk_i32.astype(jnp.float32) * (sq * sk * qk_scale)
+            qk = jax.lax.dot_general(
+                q_bf, k_sub.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
             # masked logits underflow to 0 through exp2; junk rows self-heal
-            # via alpha underflow (see flash_fwd), one where-pass suffices
+            # via alpha underflow (see flash_fwd), one where-pass suffices.
+            # RAW_MASK: |raw qk| <= 127*127*d < 2^21, and the scaled sentinel
+            # -2^30 * c underflows exp2 for any c >= 2^-96 (scales are
+            # >= 1e-12/127 by the quantizer's floor, and qk_scale ~ d^-1/2).
             if causal or kv_padded:
                 mask = tile_mask(q_start, sub_start, block_q, block_sub, kv_len, causal)
-                s = jnp.where(mask, s, MASK_VALUE)
+                qk = jnp.where(mask, qk, -(2.0 ** 30))
 
             m_prev = m_scr[...][:, :1]
-            row_max = jnp.max(s, axis=-1, keepdims=True)
+            # scaled row max via a cheap [bq,1] column op; EPS_BIAS keeps the
+            # top bf16 P entry strictly below 1.0 (same rule as flash_fwd).
+            row_max = jnp.max(qk, axis=-1, keepdims=True) * c + EPS_BIAS
             next_m = jnp.maximum(m_prev, row_max)
 
-            # Per-q-row P quantization fused into the exp2: with
-            # sp = exp2(rowmax − m)/127 (attention_int8.py:227-237),
-            # P/sp = exp2(s − rowmax + log2 127) — ONE exp2 pass produces the
-            # int8 payload directly (+0.5-truncate = round-half-up; the max
-            # is exactly 127.0, which stays 127 after +0.5 truncation), and l
-            # sums the dequantized int8 P — consistent with the PV matmuls.
-            log2_127 = 6.9886369
-            p_i8 = (jnp.exp2(s - row_max + log2_127) + 0.5).astype(jnp.int8)
-            sp = jnp.exp2(row_max - next_m) / 127.0
+            # P stays bf16 (module doc: no rate gain from int8 P on the MXU);
+            # l sums the *rounded* P that enters the PV matmul so the epilogue
+            # normalization matches the accumulated mass.
+            p = jnp.exp2(qk * c - next_m).astype(jnp.bfloat16)
 
             alpha = jnp.exp2(m_prev - next_m)
-            l_cur = jnp.sum(p_i8.astype(jnp.float32), axis=-1, keepdims=True) * sp
+            l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
             l_next = l_scr[...][:, :1] * alpha + l_cur
 
             v_sub = v_ref[0, pl.ds(j * block_sub, block_sub), :]
-            pv_i32 = _int8_dot(p_i8, v_sub, ((1,), (0,)))
-            acc_scr[...] = acc_scr[...] * alpha + pv_i32.astype(jnp.float32) * (sp * sv)
+            pv = jax.lax.dot_general(
+                p, v_sub.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv * sv
 
             m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
             l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -131,24 +159,35 @@ def _int8_fwd_kernel(
         l = l_scr[...][:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to(m_scr[...][:, :1] + jnp.log2(l_safe), lse_ref.shape[1:])
+        # tokens-on-lanes lse layout — see flash_fwd epilogue
+        lse = m_scr[...][:, :1] + jnp.log2(l_safe)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
 
 
-def quantize_qkv(q, k, v, config: BlockConfig):
-    """Per-block int8 quantization of Q/K/V at the kernel's block granularity.
+def quantize_qkv(q, k, v, config: BlockConfig, interpret: bool | None = None):
+    """Per-block int8 quantization of Q/K/V at the kernel's block granularity,
+    each tensor in ONE fused Pallas pass (read -> absmax/scale/round in VMEM
+    -> quarter-width write; the reference quantizes in-kernel for the same
+    no-extra-round-trip reason, attention_int8.py:180-195).
 
     Returns ((q_i8, sq), (k_i8, sk), (v_i8, sv)) on [b·h, padded_t, d] /
     [b·h, n_blocks] layouts — the residual set the backward reuses.
     """
+    if interpret is None:
+        interpret = use_interpret_mode()
     batch, head, q_tokens, head_dim = q.shape
     kv_len = k.shape[2]
     bh = batch * head
+    # K/V quantize at the compute-subtile grain (<= block_kv), q at block_q:
+    # the forward DMAs at block_kv but applies one scale per subtile, and the
+    # backward tiles at exactly the quantization grain (see int8_bwd).
     q3 = pad_tokens(q.reshape(bh, q_tokens, head_dim), config.block_q, 1)
     k3 = pad_tokens(k.reshape(bh, kv_len, head_dim), config.block_kv, 1)
     v3 = pad_tokens(v.reshape(bh, kv_len, head_dim), config.block_kv, 1)
-    q_i8, sq = quantize_int8_blocks(q3, config.block_q)
-    k_i8, sk = quantize_int8_blocks(k3, config.block_kv)
-    v_i8, sv = quantize_int8_blocks(v3, config.block_kv)
+    kv_grain = min(config.kv_compute, k3.shape[1])
+    q_i8, sq = quantize_int8_blocks_fused(q3, config.block_q, interpret=interpret)
+    k_i8, sk = quantize_int8_blocks_fused(k3, kv_grain, interpret=interpret)
+    v_i8, sv = quantize_int8_blocks_fused(v3, kv_grain, interpret=interpret)
     return (q_i8, sq), (k_i8, sk), (v_i8, sv)
 
 
@@ -242,11 +281,11 @@ def int8_attention_fwd_from_quantized(
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, padded_q, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((bh, padded_q, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, padded_q), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -260,5 +299,5 @@ def int8_attention_fwd_from_quantized(
     )(q_i8, k_i8, v_i8, sq_f32, sk_f32, sv_f32)
 
     o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
-    lse = lse[:, :q_tokens, 0].reshape(batch, head, q_tokens)
+    lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)
     return o, lse

@@ -14,11 +14,18 @@ SURVEY.md §2.3.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 INT8_MAX = 127.0
 # Floor for scales so an all-zero tile quantizes to zeros instead of NaN.
 _EPS = 1e-12
+
+_LANES = 128
 
 
 def absmax_scale(x: jnp.ndarray, axis=None, keepdims: bool = False) -> jnp.ndarray:
@@ -54,3 +61,51 @@ def quantize_int8_blocks(x: jnp.ndarray, block_size: int):
     scales = absmax_scale(xb, axis=(-2, -1))  # [..., nblk]
     x_int8 = quantize_int8(xb, scales[..., None, None]).reshape(*lead, tokens, d)
     return x_int8, scales
+
+
+def _quant_block_kernel(x_ref, xi_ref, s_ref):
+    x = x_ref[0].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x))
+    s = jnp.maximum(amax, _EPS) / INT8_MAX
+    xi_ref[0] = jnp.clip(jnp.round(x / s), -128.0, INT8_MAX).astype(jnp.int8)
+    s_ref[0] = jnp.broadcast_to(s, s_ref.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def quantize_int8_blocks_fused(x: jnp.ndarray, block_size: int, interpret: bool = False):
+    """Fused single-pass Pallas version of `quantize_int8_blocks`.
+
+    The reference quantizes inside its attention kernels
+    (attention_int8.py:180-195, 241-247) so Q/K/V never take a separate
+    fp round-trip through global memory; this kernel is the TPU counterpart
+    for the *training* path, where the int8 blocks + scales must materialize
+    in HBM as the backward's residuals (attention_int8.py:58-65): one read of
+    x, one quarter-width write, absmax/scale/round fused in VMEM. Numerics
+    are identical to `quantize_int8_blocks` (same absmax/127, same
+    round-to-nearest, same x/s division order).
+
+    x: [bh, tokens, d] with tokens % block_size == 0.
+    Returns (x_int8 [bh, tokens, d], scales f32 [bh, tokens // block_size]).
+    """
+    bh, tokens, d = x.shape
+    if tokens % block_size != 0:
+        raise ValueError(f"tokens={tokens} not divisible by block_size={block_size}")
+    nblk = tokens // block_size
+    x_i8, s_lanes = pl.pallas_call(
+        _quant_block_kernel,
+        grid=(bh, nblk),
+        in_specs=[pl.BlockSpec((1, block_size, d), lambda b, i: (b, i, 0))],
+        out_specs=[
+            pl.BlockSpec((1, block_size, d), lambda b, i: (b, i, 0)),
+            # scale rides in a full (8,128) register tile per block — the
+            # minimum Mosaic-legal unit for a scalar output — and is sliced
+            # down outside; the waste is nblk*4KB, invisible next to x.
+            pl.BlockSpec((1, 1, 8, _LANES), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tokens, d), jnp.int8),
+            jax.ShapeDtypeStruct((bh, nblk, 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x)
+    return x_i8, s_lanes[..., 0, 0]

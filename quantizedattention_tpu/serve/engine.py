@@ -331,7 +331,11 @@ class ServingEngine:
             ]
             t_pad = -(-max(len(prompt), 1) // ps) * ps
         else:
-            t_pad = _bucket(len(prompt))
+            # Clamp the power-of-two bucket at the (128-rounded) cache
+            # capacity: for a non-power-of-two max_seq a long prompt would
+            # otherwise prefill at a bucket beyond capacity — numerically
+            # safe (write_kv_slot trims) but wasted compile + compute.
+            t_pad = min(_bucket(len(prompt)), -(-self.cfg.max_seq // 128) * 128)
         tokens = jnp.asarray(prompt + [0] * (t_pad - len(prompt)), jnp.int32)
         first_tok, self.caches = self._prefill(
             self.params, self.caches, tokens, jnp.int32(len(prompt)), jnp.int32(slot),

@@ -85,12 +85,21 @@ class BlockConfig:
 # tiles. The analogue of the reference's recorded best RTX3080 config
 # (attention_bf16.py:734-748).
 _DEFAULTS = {
+    # Forward: block_kv as large as VMEM allows (8192) with 1024-wide compute
+    # subtiles. Large kv DMA blocks keep the K/V tiles resident across
+    # consecutive q-blocks (the Pallas pipeline skips re-fetch when the block
+    # index is unchanged) — measured v5e at seq 4096: 3.29 ms (bkv=4096) vs
+    # 3.55 ms (bkv=1024) for bf16; seq 8192: 2.76 ms (bkv=8192) vs 3.13 ms.
+    # The 1024-wide subtile keeps causal skipping at pl.when granularity
+    # (512-wide subtiles serialize the online-softmax chain: 4.8 ms).
     # bwd blocks tuned for the fast (bf16-rate MXU) backward: (1024, 1024)
     # measured 7.1 ms vs 8.0 at (512, 512) on v5e at seq 2048. The exact-f32
     # backward ("fp32" kind below) keeps smaller blocks — HIGHEST-precision
     # passes overflow vmem at 1024².
-    "bf16": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=1024, block_kv_bwd=1024),
-    "int8": BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=1024, block_kv_bwd=1024),
+    "bf16": BlockConfig(block_q=1024, block_kv=8192, block_q_bwd=1024, block_kv_bwd=1024,
+                        block_kv_compute=1024),
+    "int8": BlockConfig(block_q=1024, block_kv=8192, block_q_bwd=1024, block_kv_bwd=1024,
+                        block_kv_compute=1024),
     # jvp carries six accumulators; block_q=512 with double-buffered kv=1024
     # overflows the 16M scoped-vmem limit at seq>=4096 (measured on v5e) —
     # (256, 1024) fits and is the measured optimum there (10.4 TFLOP/s f32).

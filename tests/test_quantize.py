@@ -35,6 +35,22 @@ def test_quantize_blocks_shapes(rng):
     assert (np.abs(blocks).reshape(3, 2, -1).max(-1) == 127).all()
 
 
+def test_quantize_blocks_fused_matches_jnp(rng):
+    """The one-pass Pallas quantizer matches the jnp oracle to 1 ulp.
+
+    (The interpret-mode reduction can differ from XLA's by one f32 ulp on the
+    absmax, which may flip payload entries sitting exactly on a rounding
+    boundary by one step — anything larger is a real bug.)
+    """
+    from quantizedattention_tpu.quantize.int8 import quantize_int8_blocks_fused
+
+    x = jax.random.normal(rng, (3, 384, 64), jnp.float32) * 7.0
+    ref_i8, ref_s = quantize_int8_blocks(x, 128)
+    got_i8, got_s = quantize_int8_blocks_fused(x, 128, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), rtol=2e-7)
+    assert np.abs(np.asarray(ref_i8, np.int32) - np.asarray(got_i8, np.int32)).max() <= 1
+
+
 def test_quantize_zero_tile_safe():
     x = jnp.zeros((8, 8), jnp.float32)
     s = absmax_scale(x)
