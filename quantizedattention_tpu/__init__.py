@@ -8,7 +8,8 @@ integration, and a shard_map distribution layer the reference lacks.
 Public surface:
   flash_attention_bf16(q, k, v, causal)   corrected-bf16 fwd / fp32 bwd
   sage_attention_int8(q, k, v)            int8 fwd + int8 bwd (fine-tuning)
-  attention_jvp(q, k, v)                  fwd-mode AD with fused tangent-O
+  attention_jvp(q, k, v)                  fwd-mode AD + reverse via transpose
+  attention_value_and_jvp(q,k,v,tq,tk,tv) (O, tO) pair with second-order bwd
 plus kernel-level entry points in ops/, quantization numerics in quantize/,
 fp32 oracles in reference/, block-size tuning in tune/, and multi-chip
 sharding (head-TP, ring attention, quantized KV cache) in parallel/.
@@ -20,6 +21,7 @@ from quantizedattention_tpu.ops import (
     flash_attention_bf16,
     sage_attention_int8,
     attention_jvp,
+    attention_value_and_jvp,
     flash_attention_fwd,
     flash_attention_bwd,
     int8_attention_fwd,
@@ -32,6 +34,7 @@ __all__ = [
     "flash_attention_bf16",
     "sage_attention_int8",
     "attention_jvp",
+    "attention_value_and_jvp",
     "flash_attention_fwd",
     "flash_attention_bwd",
     "int8_attention_fwd",

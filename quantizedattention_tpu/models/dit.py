@@ -20,7 +20,22 @@ import math
 import jax
 import jax.numpy as jnp
 
-from quantizedattention_tpu.ops.api import attention_jvp
+from quantizedattention_tpu.ops.api import attention_jvp, attention_value_and_jvp
+
+
+@jax.custom_jvp
+def _attention_rcm(q, k, v):
+    """Attention for the rCM *training* trace: its jvp rule is the fused
+    (O, tO) pair kernel, whose custom_vjp is the second-order streamed
+    backward — so jax.grad of losses containing du/dt works. (Plain
+    jax.grad of THIS function does not; the plain-gradient path of the
+    model uses `attention_jvp`, whose tangent map transposes instead.)"""
+    return attention_jvp(q, k, v, causal=False)
+
+
+@_attention_rcm.defjvp
+def _attention_rcm_rule(primals, tangents):
+    return attention_value_and_jvp(*primals, *tangents, causal=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,8 +96,16 @@ def _ln(x, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps)
 
 
-def dit_forward(params, x, t, cfg: DiTConfig):
-    """x [B, N, D] (patched latents), t [B] — returns the velocity field u."""
+def dit_forward(params, x, t, cfg: DiTConfig, attention=None):
+    """x [B, N, D] (patched latents), t [B] — returns the velocity field u.
+
+    attention: (q, k, v, causal=) -> o. Defaults to `attention_jvp`
+    (fwd-mode streams the tangent kernel; reverse mode transposes into the
+    flash fp32 backward). `dit_jvp_step` swaps in the rCM pair rule.
+    """
+    attention = attention if attention is not None else (
+        lambda q, k, v: attention_jvp(q, k, v, causal=False)
+    )
     b, n, d = x.shape
     temb = jax.nn.silu(_timestep_embed(t) @ params["t_mlp1"]) @ params["t_mlp2"]
 
@@ -94,8 +117,7 @@ def dit_forward(params, x, t, cfg: DiTConfig):
         q = (h @ layer["wq"]).reshape(b, n, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         k = (h @ layer["wk"]).reshape(b, n, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
         v = (h @ layer["wv"]).reshape(b, n, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-        # attention_jvp: fp32 kernel whose fwd-mode rule is the fused JVP kernel
-        o = attention_jvp(q, k, v, causal=False)
+        o = attention(q, k, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.n_heads * cfg.head_dim)
         x = x + g_a[:, None, :] * (o @ layer["wo"])
 
@@ -111,11 +133,18 @@ def dit_jvp_step(params, x_t, t, cfg: DiTConfig, dx_dt=None):
     The tangent direction is (dx/dt, dt/dt=1); if dx_dt is None the model's
     own velocity is used (the rCM self-consistency direction): first compute
     u = f(x, t), then push (u, 1) through as the tangent.
+
+    Fully trainable: jax.grad of any loss over (u, du/dt) works — the
+    attention jvp inside this trace is the (O, tO) pair kernel, backed by
+    the second-order flash backward (ops/jvp_bwd); the dx_dt prepass uses
+    the transpose-backed `attention_jvp`. This closes the rCM training loop
+    the reference only gestures at (attention_jvp.py:1-11 — its kernel is
+    forward-only).
     """
     if dx_dt is None:
         dx_dt = dit_forward(params, x_t, t, cfg)
     return jax.jvp(
-        lambda x_, t_: dit_forward(params, x_, t_, cfg),
+        lambda x_, t_: dit_forward(params, x_, t_, cfg, attention=_attention_rcm),
         (x_t, t),
         (dx_dt, jnp.ones_like(t)),
     )

@@ -14,6 +14,9 @@ Public API (the analogue of flash_atten_2_bf16 / sage_attention_3_int8):
   flash_attention_bf16(q, k, v, causal=...)   — custom_vjp, bf16 fwd / fp32 bwd
   sage_attention_int8(q, k, v, ...)           — custom_vjp, int8 fwd + int8 bwd
   attention_jvp(q, k, v, ...)                 — custom_jvp, fwd-mode tangent-O
+                                                + reverse mode via transpose
+  attention_value_and_jvp(q,k,v,tq,tk,tv)     — custom_vjp pair (O, tO) with a
+                                                second-order streamed backward
 """
 
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
@@ -21,10 +24,13 @@ from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd
 from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
 from quantizedattention_tpu.ops.jvp_fwd import attention_jvp_fwd
+from quantizedattention_tpu.ops.jvp_bwd import attention_jvp_bwd
+from quantizedattention_tpu.ops.jvp_tangent import attention_tangent_fwd
 from quantizedattention_tpu.ops.api import (
     flash_attention_bf16,
     sage_attention_int8,
     attention_jvp,
+    attention_value_and_jvp,
 )
 
 __all__ = [
@@ -33,7 +39,10 @@ __all__ = [
     "int8_attention_fwd",
     "int8_attention_bwd",
     "attention_jvp_fwd",
+    "attention_jvp_bwd",
+    "attention_tangent_fwd",
     "flash_attention_bf16",
     "sage_attention_int8",
     "attention_jvp",
+    "attention_value_and_jvp",
 ]

@@ -29,13 +29,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.custom_transpose import custom_transpose
 
 from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
 from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
 from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd
+from quantizedattention_tpu.ops.jvp_bwd import attention_jvp_bwd
 from quantizedattention_tpu.ops.jvp_fwd import attention_jvp_fwd
-from quantizedattention_tpu.quantize.smoothing import k_smooth
+from quantizedattention_tpu.ops.jvp_tangent import attention_tangent_fwd
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 
 
@@ -105,17 +107,21 @@ def flash_attention_bf16(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _sage_attention_int8(q, k, v, causal, sm_scale, config):
-    k_smoothed, _ = k_smooth(k)
+    # K-smoothing mean is computed here (one XLA reduce over K) but the
+    # subtraction is FUSED into the K quantization kernel — smoothed K never
+    # round-trips HBM in f32 (the reference smooths outside,
+    # attention_int8.py:24, and quantizes in-kernel, :180-195).
+    k_mean = jnp.mean(k, axis=-2, keepdims=True)
     o, _, _ = int8_attention_fwd(
-        q, k_smoothed, v, causal=causal, sm_scale=sm_scale, config=config
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, k_sub=k_mean
     )
     return o
 
 
 def _int8_fwd_rule(q, k, v, causal, sm_scale, config):
-    k_smoothed, k_mean = k_smooth(k)
+    k_mean = jnp.mean(k, axis=-2, keepdims=True)
     o, lse, residuals = int8_attention_fwd(
-        q, k_smoothed, v, causal=causal, sm_scale=sm_scale, config=config
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, k_sub=k_mean
     )
     dims = (q.shape[0], q.shape[1], q.shape[2], k.shape[2], q.shape[3])
     return o, (residuals, k_mean, o, lse, dims)
@@ -161,6 +167,52 @@ def sage_attention_int8(
 # --------------------------------------------------------------------------
 # JVP: forward-mode attention with fused tangent-O
 # --------------------------------------------------------------------------
+#
+# Two entry points, because JAX's AD machinery cannot give one function all
+# three behaviors at once (verified by experiment on jax 0.9):
+#
+#   attention_jvp            custom_jvp whose tangent map is wrapped in
+#                            jax.custom_transpose -> jax.jvp streams the
+#                            tangent kernel AND jax.grad works (linearize
+#                            transposes the tangent map into flash_bwd).
+#                            grad-OF-jvp is not supported on this one
+#                            (LinearizeTrace has no custom_transpose rule).
+#   attention_value_and_jvp  custom_vjp over (q,k,v,tq,tk,tv) -> (O,tO):
+#                            the fused six-accumulator forward kernel, and a
+#                            full second-order backward (ops/jvp_bwd) — this
+#                            is the rCM-distillation training path (losses
+#                            containing tO; reference attention_jvp.py:1-11).
+
+
+@functools.lru_cache(maxsize=None)
+def _make_tangent_map(causal, sm_scale, config):
+    """custom_transpose tangent map: (res, (tq,tk,tv)) -> tO.
+
+    The body must stage no array constants (custom_transpose hoists jaxpr
+    consts into call args, breaking the transpose's arg unflattening) —
+    everything array-valued rides in `res`.
+    """
+
+    @custom_transpose
+    def t_map(res, lin):
+        q, k, v, o, lse = res
+        tq, tk, tv = lin
+        return attention_tangent_fwd(
+            q, k, v, o, lse, tq, tk, tv,
+            causal=causal, sm_scale=sm_scale, config=config,
+        )
+
+    @t_map.def_transpose
+    def t_map_transpose(res, ct):
+        q, k, v, o, lse = res
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, o, lse, ct, causal=causal, sm_scale=sm_scale,
+            config=config,
+        )
+        return dq, dk, dv
+
+    return t_map
+
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5))
 def _attention_jvp(q, k, v, causal, sm_scale, config):
@@ -174,8 +226,14 @@ def _attention_jvp(q, k, v, causal, sm_scale, config):
 def _attention_jvp_rule(causal, sm_scale, config, primals, tangents):
     q, k, v = primals
     tq, tk, tv = tangents
-    o, to, _ = attention_jvp_fwd(
-        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config
+    o, lse = flash_attention_fwd(
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, precision="fp32"
+    )
+    t_map = _make_tangent_map(causal, sm_scale, config)
+    to = t_map(
+        jax.core.ShapedArray(o.shape, o.dtype),
+        (q, k, v, o, lse),
+        (tq, tk, tv),
     )
     return o, to
 
@@ -188,12 +246,73 @@ def attention_jvp(
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
 ) -> jnp.ndarray:
-    """fp32 attention whose forward-mode AD rule is the fused JVP kernel.
+    """fp32 attention supporting BOTH forward-mode AD (streamed tangent
+    kernel) and reverse-mode AD (flash fp32 backward via transposition).
 
-    Use under jax.jvp / jax.linearize: jvp(attention_jvp, (q,k,v), (tq,tk,tv))
-    computes (O, tO) in one streaming pass (reference: attention_jvp.py:24,
-    motivated by flow-matching diffusion distillation).
+    jvp(attention_jvp, (q,k,v), (tq,tk,tv)) computes (O, tO) with the
+    flash forward + the given-lse tangent kernel (reference:
+    attention_jvp.py:24). jax.grad of losses of the *primal* output works;
+    for gradients of losses containing tO (rCM distillation training), use
+    `attention_value_and_jvp`.
     """
     if config is None:
         config = default_block_config("jvp", q.shape[2], k.shape[2])
     return _attention_jvp(q, k, v, causal, sm_scale, config)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _attention_value_and_jvp(q, k, v, tq, tk, tv, causal, sm_scale, config, fast_bwd):
+    o, to, _, _ = attention_jvp_fwd(
+        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config
+    )
+    return o, to
+
+
+def _pair_fwd(q, k, v, tq, tk, tv, causal, sm_scale, config, fast_bwd):
+    o, to, lse, mu = attention_jvp_fwd(
+        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config
+    )
+    return (o, to), (q, k, v, tq, tk, tv, o, to, lse, mu)
+
+
+def _pair_bwd(causal, sm_scale, config, fast_bwd, res, cts):
+    q, k, v, tq, tk, tv, o, to, lse, mu = res
+    do, dto = cts
+    return attention_jvp_bwd(
+        q, k, v, tq, tk, tv, o, to, lse, mu, do, dto,
+        causal=causal, sm_scale=sm_scale, config=config, fast=fast_bwd,
+    )
+
+
+_attention_value_and_jvp.defvjp(_pair_fwd, _pair_bwd)
+
+
+def attention_value_and_jvp(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    tq: jnp.ndarray,
+    tk: jnp.ndarray,
+    tv: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    fast_bwd: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(O, tO) in one fused streaming pass, differentiable in REVERSE mode
+    w.r.t. all six inputs — the rCM-distillation training primitive.
+
+    jax.grad of any loss over (O, tO) runs the second-order flash backward
+    (ops/jvp_bwd): exact attention Hessian-vector math, streamed. The
+    reference has no counterpart (its JVP kernel is forward-only,
+    attention_jvp.py:24); this closes the training loop its own docstring
+    describes (attention_jvp.py:1-11).
+    """
+    if config is None:
+        config = default_block_config("jvp", q.shape[2], k.shape[2])
+    f32 = jnp.float32
+    return _attention_value_and_jvp(
+        q.astype(f32), k.astype(f32), v.astype(f32),
+        tq.astype(f32), tk.astype(f32), tv.astype(f32),
+        causal, sm_scale, config, fast_bwd,
+    )

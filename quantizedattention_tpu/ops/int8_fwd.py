@@ -164,11 +164,14 @@ def _int8_fwd_kernel(
         lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
 
 
-def quantize_qkv(q, k, v, config: BlockConfig, interpret: bool | None = None):
+def quantize_qkv(q, k, v, config: BlockConfig, k_sub=None, interpret: bool | None = None):
     """Per-block int8 quantization of Q/K/V at the kernel's block granularity,
     each tensor in ONE fused Pallas pass (read -> absmax/scale/round in VMEM
     -> quarter-width write; the reference quantizes in-kernel for the same
     no-extra-round-trip reason, attention_int8.py:180-195).
+
+    k_sub: optional [b, h, 1, d] shift (K-smoothing mean) subtracted from K
+    inside the quantization kernel — the smoothed K never materializes in f32.
 
     Returns ((q_i8, sq), (k_i8, sk), (v_i8, sv)) on [b·h, padded_t, d] /
     [b·h, n_blocks] layouts — the residual set the backward reuses.
@@ -185,8 +188,9 @@ def quantize_qkv(q, k, v, config: BlockConfig, interpret: bool | None = None):
     k3 = pad_tokens(k.reshape(bh, kv_len, head_dim), config.block_kv, 1)
     v3 = pad_tokens(v.reshape(bh, kv_len, head_dim), config.block_kv, 1)
     kv_grain = min(config.kv_compute, k3.shape[1])
+    sub3 = None if k_sub is None else k_sub.reshape(bh, 1, head_dim)
     q_i8, sq = quantize_int8_blocks_fused(q3, config.block_q, interpret=interpret)
-    k_i8, sk = quantize_int8_blocks_fused(k3, kv_grain, interpret=interpret)
+    k_i8, sk = quantize_int8_blocks_fused(k3, kv_grain, sub=sub3, interpret=interpret)
     v_i8, sv = quantize_int8_blocks_fused(v3, kv_grain, interpret=interpret)
     return (q_i8, sq), (k_i8, sk), (v_i8, sv)
 
@@ -201,10 +205,14 @@ def int8_attention_fwd(
     causal: bool = False,
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
+    k_sub: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ):
-    """INT8 attention forward on [b, h, t, d] inputs (K already smoothed by
-    the caller when used via `sage_attention_int8`).
+    """INT8 attention forward on [b, h, t, d] inputs.
+
+    k_sub: optional [b, h, 1, d] K-smoothing mean, fused into the K
+    quantization pass (pass it instead of pre-smoothing K when the shift is
+    already known). If omitted, K is quantized as given.
 
     Returns (o, lse, residuals) where residuals =
     ((q_i8, sq), (k_i8, sk), (v_i8, sv)) for the int8 backward.
@@ -215,7 +223,7 @@ def int8_attention_fwd(
     kv_len = k.shape[2]
     if config is None:
         config = default_block_config("int8", q_tokens, kv_len)
-    residuals = quantize_qkv(q, k, v, config)
+    residuals = quantize_qkv(q, k, v, config, k_sub=k_sub)
     o, lse = int8_attention_fwd_from_quantized(
         residuals,
         (batch, head, q_tokens, kv_len, head_dim),

@@ -38,7 +38,7 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 def _jvp_kernel(
     q_ref, k_ref, v_ref, tq_ref, tk_ref, tv_ref,
-    o_ref, to_ref, lse_ref,
+    o_ref, to_ref, lse_ref, mu_ref,
     m_scr, l_scr, r_scr, o_scr, a_scr, b_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv,
 ):
@@ -107,7 +107,14 @@ def _jvp_kernel(
         o_ref[0] = o_final.astype(o_ref.dtype)
         # tO = (A + B − r·O) / l   (attention_jvp.py:190)
         to_ref[0] = ((a_scr[...] + b_scr[...] - r * o_final) / l_safe).astype(to_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to(m_scr[...][:, :1] + jnp.log2(l_safe), lse_ref.shape[1:])
+        # lse and mu ride with tokens on lanes (a [block_q, 1] column
+        # broadcast to 128 lanes writes 128x the bytes — see flash_fwd);
+        # the wrapper slices [:, 0, :].
+        lse = m_scr[...][:, :1] + jnp.log2(l_safe)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
+        # mu = rowsum(P_norm ∘ tS) = r / l — the tangent-softmax row term the
+        # second-order backward (jvp_bwd) needs as a residual.
+        mu_ref[0] = jnp.broadcast_to((r / l_safe).reshape(1, -1), mu_ref.shape[1:])
 
 
 @functools.partial(
@@ -120,7 +127,12 @@ def attention_jvp_fwd(
     config: BlockConfig | None = None,
     interpret: bool | None = None,
 ):
-    """JVP attention. Returns (O, tO, lse), all f32; inputs [b, h, t, d]."""
+    """JVP attention. Returns (O, tO, lse, mu), all f32; inputs [b, h, t, d].
+
+    mu = rowsum(P ∘ tS) (P normalized, tS natural-log domain) — the tangent
+    row term; together with lse it is the residual set the second-order
+    backward (ops/jvp_bwd) reuses without recomputing the streaming pass.
+    """
     if interpret is None:
         interpret = use_interpret_mode()
     batch, head, q_tokens, head_dim = q.shape
@@ -158,19 +170,17 @@ def attention_jvp_fwd(
     q_spec = pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0))
     kv_spec = pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0))
 
-    o, to, lse = pl.pallas_call(
+    row_spec = pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i))
+    o, to, lse, mu = pl.pallas_call(
         kernel,
         grid=(bh, num_q_blocks, num_kv_blocks),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, kv_spec, kv_spec],
-        out_specs=[
-            q_spec,
-            q_spec,
-            pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0)),
-        ],
+        out_specs=[q_spec, q_spec, row_spec, row_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, padded_q, head_dim), f32),
             jax.ShapeDtypeStruct((bh, padded_q, head_dim), f32),
-            jax.ShapeDtypeStruct((bh, padded_q, _LANES), f32),
+            jax.ShapeDtypeStruct((bh, 8, padded_q), f32),
+            jax.ShapeDtypeStruct((bh, 8, padded_q), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), f32),
@@ -188,5 +198,6 @@ def attention_jvp_fwd(
 
     o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
     to = to[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
-    lse = lse[:, :q_tokens, 0].reshape(batch, head, q_tokens)
-    return o, to, lse
+    lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)
+    mu = mu[:, 0, :q_tokens].reshape(batch, head, q_tokens)
+    return o, to, lse, mu

@@ -71,8 +71,22 @@ def _quant_block_kernel(x_ref, xi_ref, s_ref):
     s_ref[0] = jnp.broadcast_to(s, s_ref.shape[1:])
 
 
+def _quant_block_sub_kernel(x_ref, sub_ref, xi_ref, s_ref):
+    """Quantize (x − sub) — K-smoothing fused into the quantization pass, so
+    the smoothed K never takes an f32 round trip through HBM (the reference
+    smooths outside but quantizes in-kernel, attention_int8.py:24,180-195)."""
+    x = x_ref[0].astype(jnp.float32) - sub_ref[0, 0].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x))
+    s = jnp.maximum(amax, _EPS) / INT8_MAX
+    xi_ref[0] = jnp.clip(jnp.round(x / s), -128.0, INT8_MAX).astype(jnp.int8)
+    s_ref[0] = jnp.broadcast_to(s, s_ref.shape[1:])
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
-def quantize_int8_blocks_fused(x: jnp.ndarray, block_size: int, interpret: bool = False):
+def quantize_int8_blocks_fused(
+    x: jnp.ndarray, block_size: int, sub: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
     """Fused single-pass Pallas version of `quantize_int8_blocks`.
 
     The reference quantizes inside its attention kernels
@@ -85,18 +99,27 @@ def quantize_int8_blocks_fused(x: jnp.ndarray, block_size: int, interpret: bool 
     round-to-nearest, same x/s division order).
 
     x: [bh, tokens, d] with tokens % block_size == 0.
+    sub: optional [bh, 1, d] per-(b·h) channel shift quantized away in the
+    same pass (K-smoothing; the output payload encodes x − sub).
     Returns (x_int8 [bh, tokens, d], scales f32 [bh, tokens // block_size]).
     """
     bh, tokens, d = x.shape
     if tokens % block_size != 0:
         raise ValueError(f"tokens={tokens} not divisible by block_size={block_size}")
     nblk = tokens // block_size
+    x_spec = pl.BlockSpec((1, block_size, d), lambda b, i: (b, i, 0))
+    if sub is None:
+        kernel, operands, in_specs = _quant_block_kernel, (x,), [x_spec]
+    else:
+        kernel = _quant_block_sub_kernel
+        operands = (x, sub)
+        in_specs = [x_spec, pl.BlockSpec((1, 1, d), lambda b, i: (b, 0, 0))]
     x_i8, s_lanes = pl.pallas_call(
-        _quant_block_kernel,
+        kernel,
         grid=(bh, nblk),
-        in_specs=[pl.BlockSpec((1, block_size, d), lambda b, i: (b, i, 0))],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_size, d), lambda b, i: (b, i, 0)),
+            x_spec,
             # scale rides in a full (8,128) register tile per block — the
             # minimum Mosaic-legal unit for a scalar output — and is sliced
             # down outside; the waste is nblk*4KB, invisible next to x.
@@ -107,5 +130,5 @@ def quantize_int8_blocks_fused(x: jnp.ndarray, block_size: int, interpret: bool 
             jax.ShapeDtypeStruct((bh, nblk, 8, _LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(x)
+    )(*operands)
     return x_i8, s_lanes[..., 0, 0]

@@ -103,7 +103,9 @@ _DEFAULTS = {
     # jvp carries six accumulators; block_q=512 with double-buffered kv=1024
     # overflows the 16M scoped-vmem limit at seq>=4096 (measured on v5e) —
     # (256, 1024) fits and is the measured optimum there (10.4 TFLOP/s f32).
-    "jvp": BlockConfig(block_q=256, block_kv=1024),
+    # bwd blocks feed the second-order backward (ops/jvp_bwd): ~7 live
+    # [bq, bkv] f32 tiles, so 256x512 stays well inside scoped vmem.
+    "jvp": BlockConfig(block_q=256, block_kv=1024, block_q_bwd=256, block_kv_bwd=512),
     "fp32": BlockConfig(block_q=256, block_kv=512, block_q_bwd=512, block_kv_bwd=512),
 }
 

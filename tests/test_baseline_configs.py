@@ -108,7 +108,7 @@ def test_config5_jvp_dit_seq4096(rng):
     tq = jax.random.normal(k1, q.shape)
     tk = jax.random.normal(k2, k.shape)
     tv = jax.random.normal(k3, v.shape)
-    o, to, _ = attention_jvp_fwd(q, k, v, tq, tk, tv)
+    o, to, _, _ = attention_jvp_fwd(q, k, v, tq, tk, tv)
     o_w, to_w = reference_attention_jvp((q, k, v), (tq, tk, tv))
     assert mismatch_report("O", o, o_w, atol=1e-2).mismatches == 0
     assert mismatch_report("tO", to, to_w, atol=1e-2).mismatches == 0

@@ -24,7 +24,7 @@ def test_jvp_kernel_vs_oracle(rng, causal):
     tk = jax.random.normal(k2, k.shape)
     tv = jax.random.normal(k3, v.shape)
 
-    o, to, lse = attention_jvp_fwd(q, k, v, tq, tk, tv, causal=causal)
+    o, to, lse, _mu = attention_jvp_fwd(q, k, v, tq, tk, tv, causal=causal)
     o_w, to_w = reference_attention_jvp((q, k, v), (tq, tk, tv), causal=causal)
 
     rep_o = mismatch_report("jvp O", o, o_w, atol=1e-2)
@@ -48,7 +48,7 @@ def test_jvp_ones_tangents_canonical(rng):
     (attention_jvp.py:242-245)."""
     q, k, v, _ = make_qkv(rng, batch=2, head=2, q_tokens=256)
     tq, tk, tv = jnp.ones_like(q), jnp.ones_like(k), jnp.ones_like(v)
-    o, to, _ = attention_jvp_fwd(q, k, v, tq, tk, tv)
+    o, to, _, _ = attention_jvp_fwd(q, k, v, tq, tk, tv)
     o_w, to_w = reference_attention_jvp((q, k, v), (tq, tk, tv))
     assert mismatch_report("O", o, o_w, atol=1e-2).mismatches == 0
     assert mismatch_report("tO", to, to_w, atol=1e-2).mismatches == 0

@@ -93,6 +93,43 @@ def test_dit_jvp_step_matches_oracle(rng):
     assert rel < 0.05, rel
 
 
+def test_dit_rcm_training_grad(rng):
+    """jax.grad of an rCM-style loss over (u, du/dt) — the round-1 verdict
+    repro (grad through the jvp raised "Linearization failed"). The oracle
+    is the same DiT forward with the pure-jnp fp32 attention, where JAX's
+    own nested AD handles the second order."""
+    from quantizedattention_tpu.reference import reference_attention
+
+    cfg = DiTConfig(d_model=128, n_heads=2, head_dim=64, n_layers=1, seq_len=128)
+    params = init_dit(rng, cfg)
+    kx, kt = jax.random.split(jax.random.key(5))
+    x = jax.random.normal(kx, (2, cfg.seq_len, cfg.d_model))
+    t = jax.random.uniform(kt, (2,))
+
+    def loss(params):
+        u, dudt = dit_jvp_step(params, x, t, cfg)
+        return jnp.mean(dudt**2) + 0.1 * jnp.mean(u**2)
+
+    def loss_ref(params):
+        ref_attn = lambda q, k, v: reference_attention(q, k, v, causal=False)
+        dx_dt = dit_forward(params, x, t, cfg, attention=ref_attn)
+        u, dudt = jax.jvp(
+            lambda x_, t_: dit_forward(params, x_, t_, cfg, attention=ref_attn),
+            (x, t), (dx_dt, jnp.ones_like(t)),
+        )
+        return jnp.mean(dudt**2) + 0.1 * jnp.mean(u**2)
+
+    got = jax.grad(loss)(params)
+    want = jax.grad(loss_ref)(params)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    flat_w, _ = jax.tree_util.tree_flatten(want)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in flat_g)
+    for g, w in zip(flat_g, flat_w):
+        assert bool(jnp.all(jnp.isfinite(g)))
+        scale = float(jnp.max(jnp.abs(w))) + 1e-8
+        assert float(jnp.max(jnp.abs(g - w))) / scale < 2e-3
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (emulated) devices")
 def test_sharded_train_step(rng):
     """DP x TP x SP train step on a 2x2x2 emulated mesh."""
