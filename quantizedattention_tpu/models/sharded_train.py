@@ -49,23 +49,32 @@ def param_specs(cfg: TransformerConfig):
     }
 
 
-def _sharded_forward(params, tokens, cfg: TransformerConfig, config: BlockConfig | None):
+def _sharded_forward(params, tokens, cfg: TransformerConfig,
+                     config: BlockConfig | None, attention: str = "bf16"):
     """Per-device forward on local shards: tokens [B_loc, T_loc]."""
     n_model = jax.lax.axis_size("model")
     ctx_idx = jax.lax.axis_index("context")
     b_loc, t_loc = tokens.shape
     h_loc = cfg.n_heads // n_model
+    kv_loc = cfg.n_kv_heads // n_model
     positions = ctx_idx * t_loc + jnp.arange(t_loc)
 
     x = params["embed"][tokens]
     for layer in params["layers"]:
         h = rmsnorm(x, layer["ln1"])
         q = (h @ layer["wq"]).reshape(b_loc, t_loc, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-        k = (h @ layer["wk"]).reshape(b_loc, t_loc, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-        v = (h @ layer["wv"]).reshape(b_loc, t_loc, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = (h @ layer["wk"]).reshape(b_loc, t_loc, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = (h @ layer["wv"]).reshape(b_loc, t_loc, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
         q = rope(q, positions, cfg.rope_base)
         k = rope(k, positions, cfg.rope_base)
-        o = ring_attention(q, k, v, "context", causal=True, config=config, kind="bf16")
+        if kv_loc != h_loc:
+            # GQA: repeat local kv heads for training (the decode path reads
+            # the unrepeated cache natively — see parallel/kv_cache.py)
+            rep = h_loc // kv_loc
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+        o = ring_attention(q, k, v, "context", causal=True, config=config,
+                           kind=attention)
         o = o.transpose(0, 2, 1, 3).reshape(b_loc, t_loc, h_loc * cfg.head_dim)
         # out-projection contracts the model-sharded head dim: psum partials
         attn_out = jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
@@ -82,18 +91,28 @@ def make_sharded_train_step(
     cfg: TransformerConfig,
     optimizer=None,
     attention_config: BlockConfig | None = None,
+    attention: str = "bf16",
 ):
     """Returns (optimizer, step) with step: (params, opt_state, tokens,
     targets) -> (params, opt_state, loss). tokens/targets are global
-    [B, T] arrays laid out P('data', 'context')."""
+    [B, T] arrays laid out P('data', 'context').
+
+    attention: "bf16" or "int8" — both ride the differentiable ring
+    (context parallelism); "int8" rotates quantized KV + scales in forward
+    AND backward. GQA (n_kv_heads < n_heads) repeats kv heads per shard.
+    """
     import optax
 
     if optimizer is None:
         optimizer = optax.adamw(3e-4)
     if cfg.n_heads % mesh.shape["model"] != 0:
         raise ValueError("n_heads must divide the model axis")
-    if cfg.n_kv_heads != cfg.n_heads:
-        raise ValueError("sharded step currently requires n_kv_heads == n_heads")
+    if cfg.n_kv_heads % mesh.shape["model"] != 0:
+        raise ValueError("n_kv_heads must divide the model axis")
+    if cfg.n_heads % cfg.n_kv_heads != 0:
+        raise ValueError("n_heads must be a multiple of n_kv_heads")
+    if attention not in ("bf16", "int8"):
+        raise ValueError(f"unknown attention kind {attention!r}")
 
     specs = param_specs(cfg)
     tok_spec = P("data", "context")
@@ -106,7 +125,7 @@ def make_sharded_train_step(
         check_vma=False,
     )
     def sharded_loss(params, tokens, targets):
-        logits = _sharded_forward(params, tokens, cfg, attention_config)
+        logits = _sharded_forward(params, tokens, cfg, attention_config, attention)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         # global mean: sum over all shards / global token count

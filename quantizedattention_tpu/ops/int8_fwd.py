@@ -53,7 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from quantizedattention_tpu.ops.common import pad_tokens, qk_scales, tile_mask
 from quantizedattention_tpu.quantize.bf16_correction import EPS_BIAS
-from quantizedattention_tpu.quantize.int8 import quantize_int8_blocks_fused
+from quantizedattention_tpu.quantize.int8 import (
+    quantize_int8_blocks_fused,
+    quantize_qkv_one_pass,
+)
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
 
@@ -189,6 +192,12 @@ def quantize_qkv(q, k, v, config: BlockConfig, k_sub=None, interpret: bool | Non
     v3 = pad_tokens(v.reshape(bh, kv_len, head_dim), config.block_kv, 1)
     kv_grain = min(config.kv_compute, k3.shape[1])
     sub3 = None if k_sub is None else k_sub.reshape(bh, 1, head_dim)
+    if q3.shape == k3.shape and config.block_q == kv_grain:
+        # square fast path: one dispatch for all three tensors
+        if sub3 is None:
+            sub3 = jnp.zeros((bh, 1, head_dim), q3.dtype)
+        return quantize_qkv_one_pass(q3, k3, v3, sub3, config.block_q,
+                                     interpret=interpret)
     q_i8, sq = quantize_int8_blocks_fused(q3, config.block_q, interpret=interpret)
     k_i8, sk = quantize_int8_blocks_fused(k3, kv_grain, sub=sub3, interpret=interpret)
     v_i8, sv = quantize_int8_blocks_fused(v3, kv_grain, interpret=interpret)

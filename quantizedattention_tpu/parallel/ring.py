@@ -37,6 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
 from quantizedattention_tpu.ops.int8_fwd import (
     int8_attention_fwd_from_quantized,
     quantize_qkv,
@@ -172,16 +173,24 @@ _ring_bf16.defvjp(_ring_bf16_fwd, _ring_bf16_bwd)
 
 # --------------------------------------------------------------------------
 # int8 ring: quantize local shard once, rotate int8 payload + scales
+# (~1/4 the ICI bytes of a bf16 ring). Differentiable: custom_vjp whose
+# backward is itself an int8 ring — the forward's quantized blocks + scales
+# rotate again and feed the int8 backward kernels (the residual-reuse
+# contract of attention_int8.py:58-65, here stretched across chips).
 # --------------------------------------------------------------------------
 
-def _ring_int8_fwd(q, k, v, axis_name, causal, sm_scale, config):
+def _ring_int8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     batch, head, t_local, head_dim = q.shape
     dims = (batch, head, t_local, t_local, head_dim)
 
-    (q_i8, sq), k_res, v_res = quantize_qkv(q, k, v, config)
+    # K-smoothing with the GLOBAL token mean (softmax shift-invariance needs
+    # the same shift for every kv position of a row): pmean of equal-size
+    # shard means over the ring axis, one [b,h,1,d] collective.
+    k_mean = jax.lax.pmean(jnp.mean(k, axis=-2, keepdims=True), axis_name)
+    (q_i8, sq), k_res, v_res = quantize_qkv(q, k, v, config, k_sub=k_mean)
 
     o = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
     lse = jnp.full((batch, head, t_local), _NEG_INF, jnp.float32)
@@ -212,7 +221,74 @@ def _ring_int8_fwd(q, k, v, axis_name, causal, sm_scale, config):
         o, lse = _merge_partials(o, lse, o_p, lse_p)
         if kv_next is not None:
             kv = kv_next
+    return o, lse, ((q_i8, sq), k_res, v_res, k_mean)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ring_int8(q, k, v, axis_name, causal, sm_scale, config):
+    o, _, _ = _ring_int8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
     return o
+
+
+def _ring_int8_fwd(q, k, v, axis_name, causal, sm_scale, config):
+    o, lse, (q_res, k_res, v_res, k_mean) = _ring_int8_fwd_impl(
+        q, k, v, axis_name, causal, sm_scale, config
+    )
+    # zero-size dtype markers (dtypes themselves are not JAX types)
+    marks = tuple(jnp.zeros((0,), x.dtype) for x in (q, k, v))
+    return o, (q_res, k_res, v_res, k_mean, o, lse, marks)
+
+
+def _ring_int8_bwd(axis_name, causal, sm_scale, config, res, do):
+    (q_i8, sq), k_res, v_res, k_mean, o, lse, in_dtypes = res
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    batch, head, t_local, head_dim = o.shape
+    dims = (batch, head, t_local, t_local, head_dim)
+
+    dq = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
+    dk_acc = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
+    dv_acc = jnp.zeros_like(dk_acc)
+    k_blk, v_blk = k_res, v_res
+    for step in range(n):
+        kv_next = _rotate((k_blk, v_blk), axis_name, perm) if step < n - 1 else None
+        src = (idx - step) % n
+
+        def _grads(operand, causal_step):
+            kb, vb = operand
+            return int8_attention_bwd(
+                ((q_i8, sq), kb, vb), k_mean, o, lse, do, dims,
+                causal=causal_step, sm_scale=sm_scale, config=config,
+            )
+
+        if causal:
+            if step == 0:
+                dq_p, dk_p, dv_p = _grads((k_blk, v_blk), True)
+            else:
+                dq_p, dk_p, dv_p = jax.lax.cond(
+                    src < idx,
+                    lambda s: _grads(s, False),
+                    lambda s: (jnp.zeros_like(dq), jnp.zeros_like(dk_acc),
+                               jnp.zeros_like(dv_acc)),
+                    (k_blk, v_blk),
+                )
+        else:
+            dq_p, dk_p, dv_p = _grads((k_blk, v_blk), False)
+
+        dq = dq + dq_p
+        dk_acc = dk_acc + dk_p
+        dv_acc = dv_acc + dv_p
+        if kv_next is not None:
+            dk_acc, dv_acc = _rotate((dk_acc, dv_acc), axis_name, perm)
+            k_blk, v_blk = kv_next
+
+    dk_acc, dv_acc = _rotate((dk_acc, dv_acc), axis_name, perm)
+    qm, km, vm = in_dtypes
+    return dq.astype(qm.dtype), dk_acc.astype(km.dtype), dv_acc.astype(vm.dtype)
+
+
+_ring_int8.defvjp(_ring_int8_fwd, _ring_int8_bwd)
 
 
 def ring_attention(
@@ -228,16 +304,17 @@ def ring_attention(
     """Ring attention on per-device shards — call inside shard_map.
 
     q/k/v: local shards [b, h, t_local, d], sequence sharded identically on
-    `axis_name`. kind "bf16" is differentiable (custom_vjp ring backward);
-    kind "int8" rotates quantized KV blocks + scales (forward/inference).
-    Returns the local O shard in f32.
+    `axis_name`. Both kinds are differentiable (custom_vjp ring backward);
+    kind "int8" quantizes the local shard once (K smoothed with the global
+    token mean) and rotates int8 payload + scales in BOTH directions —
+    ~1/4 the ICI bytes of the bf16 ring. Returns the local O shard in f32.
     """
     if config is None:
         config = default_block_config(kind, q.shape[2], q.shape[2])
     if kind == "bf16":
         return _ring_bf16(q, k, v, axis_name, causal, sm_scale, config)
     if kind == "int8":
-        return _ring_int8_fwd(q, k, v, axis_name, causal, sm_scale, config)
+        return _ring_int8(q, k, v, axis_name, causal, sm_scale, config)
     raise ValueError(f"unknown ring kind {kind!r}")
 
 

@@ -82,6 +82,52 @@ def _quant_block_sub_kernel(x_ref, sub_ref, xi_ref, s_ref):
     s_ref[0] = jnp.broadcast_to(s, s_ref.shape[1:])
 
 
+def _quant_qkv_kernel(q_ref, k_ref, v_ref, sub_ref,
+                      qi_ref, ki_ref, vi_ref, sq_ref, sk_ref, sv_ref):
+    """Quantize one q/k/v block triple in a single grid step (k gets the
+    smoothing shift). One dispatch instead of three — the per-call Pallas
+    fixed cost is what kept the int8 forward behind the bf16 kernel."""
+
+    def one(x, xi_ref, s_ref):
+        amax = jnp.max(jnp.abs(x))
+        s = jnp.maximum(amax, _EPS) / INT8_MAX
+        xi_ref[0] = jnp.clip(jnp.round(x / s), -128.0, INT8_MAX).astype(jnp.int8)
+        s_ref[0] = jnp.broadcast_to(s, s_ref.shape[1:])
+
+    one(q_ref[0].astype(jnp.float32), qi_ref, sq_ref)
+    one(k_ref[0].astype(jnp.float32) - sub_ref[0, 0].astype(jnp.float32), ki_ref, sk_ref)
+    one(v_ref[0].astype(jnp.float32), vi_ref, sv_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def quantize_qkv_one_pass(q, k, v, k_sub, block_size: int, interpret: bool = False):
+    """All of Q/K/V quantized in ONE pallas_call (same token length and the
+    same block grain — the square training fast path). k_sub: [bh, 1, d].
+
+    Returns ((q_i8, sq), (k_i8, sk), (v_i8, sv)).
+    """
+    bh, tokens, d = q.shape
+    nblk = tokens // block_size
+    x_spec = pl.BlockSpec((1, block_size, d), lambda b, i: (b, i, 0))
+    s_spec = pl.BlockSpec((1, 1, 8, _LANES), lambda b, i: (b, i, 0, 0))
+    i8_shape = jax.ShapeDtypeStruct((bh, tokens, d), jnp.int8)
+    s_shape = jax.ShapeDtypeStruct((bh, nblk, 8, _LANES), jnp.float32)
+    q_i8, k_i8, v_i8, sq, sk, sv = pl.pallas_call(
+        _quant_qkv_kernel,
+        grid=(bh, nblk),
+        in_specs=[x_spec, x_spec, x_spec,
+                  pl.BlockSpec((1, 1, d), lambda b, i: (b, 0, 0))],
+        out_specs=[x_spec, x_spec, x_spec, s_spec, s_spec, s_spec],
+        out_shape=[i8_shape, i8_shape, i8_shape, s_shape, s_shape, s_shape],
+        interpret=interpret,
+    )(q, k, v, k_sub)
+    return (
+        (q_i8, sq[..., 0, 0]),
+        (k_i8, sk[..., 0, 0]),
+        (v_i8, sv[..., 0, 0]),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
 def quantize_int8_blocks_fused(
     x: jnp.ndarray, block_size: int, sub: jnp.ndarray | None = None,

@@ -111,6 +111,51 @@ def test_ring_attention_differentiable(rng, causal):
         assert rep.mismatch_rate <= 3.5e-4, rep
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_int8_ring_attention_differentiable(rng, causal):
+    """int8 ring backward (rotating int8 payloads + scales) vs oracle.
+
+    Gradients carry int8 quantization error, so the bar is the same
+    mismatch-rate envelope as the single-device int8 backward tests.
+    """
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, do = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    fn = make_ring_attention(mesh, kind="int8", causal=causal)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(fn(q_, k_, v_) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=causal)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rep = mismatch_report(f"int8 ring {nm}", g, w, atol=5e-2)
+        assert rep.mismatch_rate <= 2e-3, rep
+        assert not bool(jnp.any(jnp.isnan(g)))
+
+
+def test_int8_ring_matches_single_device_int8_grads(rng):
+    """int8 ring grads == the single-device int8 custom_vjp grads — isolates
+    ring communication errors from quantization error. Not bit-exact: the
+    ring quantizes K/V per shard (finer grain) while single-device uses one
+    table, so compare within a tight envelope."""
+    from quantizedattention_tpu import sage_attention_int8
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    q, k, v, do = make_qkv(rng, batch=1, head=1, q_tokens=512)
+    fn = make_ring_attention(mesh, kind="int8", causal=False)
+
+    g_ring = jax.grad(lambda *a: jnp.sum(fn(*a) * do), argnums=(0, 1, 2))(q, k, v)
+    g_single = jax.grad(
+        lambda *a: jnp.sum(sage_attention_int8(*a, causal=False) * do),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for nm, g, w in zip(("dq", "dk", "dv"), g_ring, g_single):
+        rep = mismatch_report(f"int8 ring-vs-single {nm}", g, w, atol=2e-2)
+        assert rep.mismatch_rate <= 2e-3, rep
+
+
 @pytest.mark.parametrize("kind,causal,atol", [
     ("bf16", True, 1e-2),
     ("int8", False, 5e-2),

@@ -154,6 +154,33 @@ def test_sharded_train_step(rng):
     assert abs(float(got) - float(want)) < 2e-2, (float(got), float(want))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (emulated) devices")
+def test_sharded_train_step_int8_gqa(rng):
+    """int8-attention + GQA (n_kv_heads < n_heads) DP x TP x SP step: loss
+    matches the single-device GQA LM loss within int8 quantization error,
+    and one step stays finite."""
+    cfg = TransformerConfig(
+        vocab_size=128, d_model=128, n_heads=4, n_kv_heads=2, head_dim=64,
+        n_layers=2, max_seq=512, attention="int8",
+    )
+    mesh = make_attention_mesh(data=2, model=2, context=2)
+    params = init_transformer(rng, cfg)
+    tokens, targets = _batch(jax.random.key(3), cfg, batch=4, seq=512)
+    optimizer, step = make_sharded_train_step(mesh, cfg, attention="int8")
+    opt_state = optimizer.init(params)
+
+    want = lm_loss(params, tokens, targets, cfg)
+    params2, _, got = step(params, opt_state, tokens, targets)
+    assert bool(jnp.isfinite(got))
+    assert abs(float(got) - float(want)) < 5e-2, (float(got), float(want))
+    # params actually moved
+    moved = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.max(jnp.abs(x))),
+        jax.tree_util.tree_map(lambda a, b: a - b, params2, params), 0.0,
+    )
+    assert moved > 0.0
+
+
 def test_generate_with_temperature(rng):
     """Sampled generation: in-vocab tokens, deterministic per key, varies
     across keys; temperature>0 without a key is rejected."""
