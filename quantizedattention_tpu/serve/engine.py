@@ -123,6 +123,8 @@ class ServingEngine:
 
         self.cache_kind = cache
         self._pager = None
+        self._pagers = None  # per-data-shard pagers (mesh + paged)
+        self._slots_per_shard = n_slots
         self._slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
         if cache == "paged":
             # one allocator; the same page ids index every layer's pool.
@@ -131,16 +133,23 @@ class ServingEngine:
             # PagedKVCache pytree every kernel consumes for an
             # admission-time-only saving of n_layers [n_slots, max_pages]
             # int32 scatters.
-            if mesh is not None:
-                raise ValueError("paged cache is single-host for now; use cache='slotted' with mesh")
             self._page_size = page_size
             max_pages_per_seq = -(-cfg.max_seq // page_size)
+            n_shards = 1 if mesh is None else int(mesh.shape["data"])
             if n_pages is None:
-                n_pages = 1 + n_slots * max_pages_per_seq  # page 0 reserved
-            self._pager = make_pager(n_pages, prefer_native=scheduler == "native")
+                n_pages = 1 + (n_slots // n_shards) * max_pages_per_seq  # page 0 reserved
+            # Under a mesh every data shard owns a PRIVATE pool of n_pages
+            # pages (page 0 of each pool reserved; page-table ids are
+            # shard-local) and a private allocator — admission policy stays
+            # host-side and per-shard, matching the device-side sharding.
+            self._pagers = [
+                make_pager(n_pages, prefer_native=scheduler == "native")
+                for _ in range(n_shards)
+            ]
+            self._pager = self._pagers[0]
             caches = [
                 init_paged_cache(
-                    cfg.n_kv_heads, n_pages, n_slots, max_pages_per_seq,
+                    cfg.n_kv_heads, n_pages * n_shards, n_slots, max_pages_per_seq,
                     cfg.head_dim, page_size,
                 )
                 for _ in params["layers"]
@@ -156,23 +165,31 @@ class ServingEngine:
         pos = jnp.zeros((n_slots,), jnp.int32)
         active = jnp.zeros((n_slots,), bool)
 
-        if decode_horizon > 1 and mesh is not None:
-            raise ValueError("decode_horizon > 1 is single-host for now")
         if mesh is not None:
             # "continuous batching across hosts": slots sharded over `data`,
-            # heads over `model`. The batched decode step is an explicit
-            # shard_map (zero-collective attention, psum projections);
-            # prefill goes through GSPMD jit — it gathers what it needs, and
-            # prefill is off the steady-state hot path.
+            # heads over `model`. Decode, horizon decode AND prefill are all
+            # explicit shard_maps (zero-collective attention + paged gather,
+            # psum projections) — no GSPMD gathers anywhere on the path.
             if n_slots % mesh.shape["data"] != 0:
                 raise ValueError("n_slots must divide the data axis")
-            pshard, cshard, vshard = serving_shardings(mesh, cfg)
+            self._slots_per_shard = n_slots // int(mesh.shape["data"])
+            pshard, cshard, vshard = serving_shardings(mesh, cfg, cache)
             params = jax.device_put(params, pshard)
             caches = jax.device_put(caches, cshard)
             last_tok = jax.device_put(last_tok, vshard)
             pos = jax.device_put(pos, vshard)
             active = jax.device_put(active, vshard)
-            self._decode = make_sharded_decode_step(mesh, cfg, temperature=temperature)
+            self._decode = make_sharded_decode_step(
+                mesh, cfg, temperature=temperature, cache=cache
+            )
+            if decode_horizon > 1:
+                self._decode_horizon = make_sharded_decode_step(
+                    mesh, cfg, temperature=temperature, cache=cache,
+                    horizon=decode_horizon,
+                )
+            self._prefill = make_sharded_prefill_slot(
+                mesh, cfg, cache=cache, temperature=temperature
+            )
         else:
             self._decode = jax.jit(
                 functools.partial(decode_step_batched, cfg=cfg, temperature=temperature)
@@ -183,14 +200,14 @@ class ServingEngine:
                     horizon=decode_horizon, temperature=temperature,
                 )
             )
+            self._prefill = jax.jit(
+                functools.partial(prefill_slot, cfg=cfg, temperature=temperature)
+            )
         self.params = params
         self.caches = caches
         self.last_tok = last_tok
         self.pos = pos
         self.active = active
-        self._prefill = jax.jit(
-            functools.partial(prefill_slot, cfg=cfg, temperature=temperature)
-        )
 
         self._next_id = 0
         self._submitted_at: dict[int, float] = {}
@@ -214,9 +231,10 @@ class ServingEngine:
         prompt = [int(t) for t in prompt]
         rid = self._next_id
         self._next_id += 1
-        if self._pager is not None:
+        if self._pagers is not None:
             n_need = -(-(len(prompt) + max_new_tokens) // self._page_size)
-            total_usable = self.caches[0].n_pages - 1  # page 0 reserved
+            # capacity bound is PER data shard (each owns a private pool)
+            total_usable = self.caches[0].n_pages // len(self._pagers) - 1
             if n_need > total_usable:
                 raise ValueError(
                     f"request rejected: needs {n_need} pages > pool of {total_usable}"
@@ -255,8 +273,8 @@ class ServingEngine:
             "cache": self.cache_kind,
             "decode_horizon": self.decode_horizon,
         }
-        if self._pager is not None:
-            s["pages_free"] = self._pager.num_free
+        if self._pagers is not None:
+            s["pages_free"] = sum(p.num_free for p in self._pagers)
         return s
 
     # -- engine side ---------------------------------------------------------
@@ -292,8 +310,8 @@ class ServingEngine:
             self._budgets.pop(rid, None)
             self._slot_req[slot] = -1
             self.active = self.active.at[slot].set(False)
-            if self._pager is not None and self._slot_pages[slot]:
-                self._pager.free(self._slot_pages[slot])
+            if self._pagers is not None and self._slot_pages[slot]:
+                self._pagers[slot // self._slots_per_shard].free(self._slot_pages[slot])
                 self._slot_pages[slot] = []
 
     def _next_key(self):
@@ -308,9 +326,10 @@ class ServingEngine:
             ps = self._page_size
             # allocate pages for the whole prompt+generation budget up front
             # (all-or-nothing; budget known at submit, so no mid-flight OOM)
+            # from the pool of the data shard that owns this slot
             budget = self._budgets[rid]
             n_need = -(-(len(prompt) + budget) // ps)
-            pages = self._pager.alloc(n_need)
+            pages = self._pagers[slot // self._slots_per_shard].alloc(n_need)
             if pages is None:
                 # pool exhausted: undo the admission (request returns to the
                 # FRONT of the queue, slot frees) and make progress by
@@ -387,7 +406,16 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, key,
     kv_loc, max_len, d]; wq/wk/wv output-sharded, wo/w2 contraction-sharded
     (psum) — the Megatron layout of models/sharded_train.py. Decode
     attention is per-(slot, kv-head) and therefore communication-free.
+    The paged cache works the same way: each data shard owns a private page
+    pool + the table rows of its slots (local page ids), so the paged
+    gather also needs zero collectives.
     """
+    from quantizedattention_tpu.parallel.paged_cache import (
+        PagedKVCache,
+        append_token_paged,
+        paged_decode_attention,
+    )
+
     n_model = jax.lax.axis_size("model")
     h_loc = cfg.n_heads // n_model
     kv_loc = cfg.n_kv_heads // n_model
@@ -403,8 +431,12 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, key,
         v = (h @ layer["wv"]).reshape(b_loc, 1, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
         q = rope(q, positions, cfg.rope_base)
         k = rope(k, positions, cfg.rope_base)
-        cache = append_kv(cache, k, v, active=active)
-        o = decode_attention(q[:, :, 0, :], cache)
+        if isinstance(cache, PagedKVCache):
+            cache = append_token_paged(cache, k, v, active)
+            o = paged_decode_attention(q[:, :, 0, :], cache)
+        else:
+            cache = append_kv(cache, k, v, active=active)
+            o = decode_attention(q[:, :, 0, :], cache)
         o = o.reshape(b_loc, 1, h_loc * cfg.head_dim)
         x = x + jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
         hh = rmsnorm(x, layer["ln2"])
@@ -435,13 +467,40 @@ def cache_specs(data_axis: str = "data", model_axis: str = "model") -> Quantized
     )
 
 
-def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig, temperature: float = 0.0):
+def paged_cache_specs(data_axis: str = "data", model_axis: str = "model"):
+    """PartitionSpec tree for one layer's PagedKVCache under the serving
+    mesh: each data shard owns a PRIVATE page pool (pages sharded on data,
+    page-table values are shard-local ids) and the table rows of its slots;
+    kv heads shard on model."""
+    from quantizedattention_tpu.parallel.paged_cache import PagedKVCache
+
+    return PagedKVCache(
+        k_pages=P(model_axis, data_axis, None, None),
+        sk=P(data_axis, model_axis, None),
+        v_pages=P(model_axis, data_axis, None, None),
+        sv=P(data_axis, model_axis, None),
+        page_table=P(data_axis, None),
+        lengths=P(data_axis),
+    )
+
+
+def _layer_cache_specs(cfg: TransformerConfig, cache: str):
+    one = paged_cache_specs() if cache == "paged" else cache_specs()
+    return [one for _ in range(cfg.n_layers)]
+
+
+def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
+                             temperature: float = 0.0, cache: str = "slotted",
+                             horizon: int = 1):
     """Jitted multi-chip decode step: (params, caches, last_tok, pos, active,
-    key=None) -> (next_tok, caches), slots sharded over `data`, heads over
-    `model`.
+    key=None) -> (next_tok, caches) — or, with horizon > 1, (bank [horizon,
+    n_slots], caches, last_tok, pos) with the same banked-token contract as
+    decode_horizon_batched. Slots shard over `data`, heads over `model`;
+    cache='paged' runs the paged gather per data shard (private page pool).
 
     Param layout = models.sharded_train.param_specs (Megatron TP). Use
-    jax.device_put with `serving_shardings(mesh, cfg)` to place the operands.
+    jax.device_put with `serving_shardings(mesh, cfg, cache)` to place the
+    operands.
     """
     from quantizedattention_tpu.models.sharded_train import param_specs
 
@@ -450,7 +509,7 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig, temperature: fl
 
     specs = param_specs(cfg)
     vec = P("data")
-    cspecs = [cache_specs() for _ in range(cfg.n_layers)]
+    cspecs = _layer_cache_specs(cfg, cache)
 
     @functools.partial(
         jax.shard_map,
@@ -464,9 +523,27 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig, temperature: fl
             params, caches, last_tok, pos, active, key, cfg, temperature
         )
 
-    @jax.jit
-    def _step(params, caches, last_tok, pos, active, key):
-        return sharded(params, caches, last_tok, pos, active, key)
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs, cspecs, vec, vec, vec, P()),
+        out_specs=(P(None, "data"), cspecs, vec, vec),
+        check_vma=False,
+    )
+    def sharded_horizon(params, caches, last_tok, pos, active, key):
+        bank = jnp.zeros((horizon, last_tok.shape[0]), jnp.int32)
+        state = (bank, caches, last_tok, pos)
+        for i in range(horizon):
+            bank, caches, last_tok, pos = state
+            k_i = None if key is None or temperature == 0.0 else jax.random.fold_in(key, i)
+            nxt, caches = _sharded_decode_step(
+                params, caches, last_tok, pos, active, k_i, cfg, temperature
+            )
+            state = (bank.at[i].set(nxt), caches, nxt, pos + active.astype(jnp.int32))
+        return state
+
+    fn = sharded if horizon <= 1 else sharded_horizon
+    _step = jax.jit(fn)
 
     def step(params, caches, last_tok, pos, active, key=None):
         if key is None:
@@ -478,14 +555,96 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig, temperature: fl
     return step
 
 
-def serving_shardings(mesh: Mesh, cfg: TransformerConfig):
+def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
+                              cache: str = "slotted", temperature: float = 0.0):
+    """Multi-chip fused prefill of one request into cache row `slot`.
+
+    Runs as ONE shard_map (no GSPMD gathers): every chip computes the
+    prompt forward on its local heads (Megatron TP, psum projections) —
+    prefill activations are replicated across `data` — and only the data
+    shard that owns `slot` writes its local cache (slotted row or paged
+    pool; page-table ids are shard-local). Same signature as the
+    single-host jit: (params, caches, tokens, true_len, slot, key=...)."""
+    from quantizedattention_tpu.models.sharded_train import param_specs
+    from quantizedattention_tpu.models.transformer import _attention, sample_token
+    from quantizedattention_tpu.parallel.kv_cache import write_kv_slot
+    from quantizedattention_tpu.parallel.paged_cache import (
+        PagedKVCache,
+        write_prompt_paged,
+    )
+
+    specs = param_specs(cfg)
+    cspecs = _layer_cache_specs(cfg, cache)
+    n_data = mesh.shape["data"]
+    n_model = mesh.shape["model"]
+    h_loc = cfg.n_heads // n_model
+    kv_loc = cfg.n_kv_heads // n_model
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs, cspecs, P(), P(), P(), P()),
+        out_specs=(P(), cspecs),
+        check_vma=False,
+    )
+    def sharded(params, caches, tokens, true_len, slot, key):
+        c0 = caches[0]
+        slots_loc = (c0.lengths if hasattr(c0, "lengths") else c0.length).shape[0]
+        data_idx = jax.lax.axis_index("data")
+        own = (slot // slots_loc) == data_idx
+        slot_loc = slot % slots_loc
+
+        t_pad = tokens.shape[0]
+        positions = jnp.arange(t_pad)
+        x = params["embed"][tokens][None]
+        new_caches = []
+        for layer, cache_l in zip(params["layers"], caches):
+            h = rmsnorm(x, layer["ln1"])
+            q = (h @ layer["wq"]).reshape(1, t_pad, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+            k = (h @ layer["wk"]).reshape(1, t_pad, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+            v = (h @ layer["wv"]).reshape(1, t_pad, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+            q = rope(q, positions, cfg.rope_base)
+            k = rope(k, positions, cfg.rope_base)
+
+            write = (
+                write_prompt_paged if isinstance(cache_l, PagedKVCache) else write_kv_slot
+            )
+            cache_l = jax.lax.cond(
+                own,
+                lambda c: write(c, slot_loc, k[0], v[0], true_len),
+                lambda c: c,
+                cache_l,
+            )
+            o = _attention(q, k, v, cfg)  # GQA repeat ratio is shard-invariant
+            o = o.transpose(0, 2, 1, 3).reshape(1, t_pad, h_loc * cfg.head_dim)
+            x = x + jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
+            hh = rmsnorm(x, layer["ln2"])
+            x = x + jax.lax.psum(jax.nn.gelu(hh @ layer["w1"]) @ layer["w2"], "model")
+            new_caches.append(cache_l)
+        x = rmsnorm(x, params["final_norm"])
+        logits = x[0, true_len - 1] @ params["unembed"]
+        k_s = None if temperature == 0.0 else key
+        return sample_token(logits, temperature, k_s), new_caches
+
+    _jitted = jax.jit(sharded)
+
+    def prefill(params, caches, tokens, true_len, slot, key=None):
+        if key is None:
+            key = jax.random.key(0)  # unused placeholder (greedy path)
+        return _jitted(params, caches, tokens, true_len, slot, key)
+
+    return prefill
+
+
+def serving_shardings(mesh: Mesh, cfg: TransformerConfig, cache: str = "slotted"):
     """(param_shardings, cache_shardings, vector_sharding) NamedSharding trees
     for placing engine state before calling the sharded decode step."""
     from quantizedattention_tpu.models.sharded_train import param_specs
 
     to_shard = lambda spec: NamedSharding(mesh, spec)
     pshard = jax.tree_util.tree_map(to_shard, param_specs(cfg))
+    one = paged_cache_specs() if cache == "paged" else cache_specs()
     cshard = [
-        jax.tree_util.tree_map(to_shard, cache_specs()) for _ in range(cfg.n_layers)
+        jax.tree_util.tree_map(to_shard, one) for _ in range(cfg.n_layers)
     ]
     return pshard, cshard, to_shard(P("data"))
