@@ -65,15 +65,24 @@ def main():
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
     log(f"devices: {n_dev} x {jax.devices()[0].device_kind}; ring kind={kind}")
 
-    t1 = None
+    base_rate = None
     eff = {}
+    rows = []
     for n in sizes:
         t, flops = bench_ring(n, kind=kind)
+        rate = flops / t
         if n == 1:
-            t1 = t
-        # weak scaling: work per device constant => perfect scaling keeps t flat
-        eff[n] = t1 / t
-        log(f"n={n:2d}: {t*1e3:8.3f} ms/step  {flops/t/1e12:6.1f} TFLOP/s "
+            base_rate = rate
+        # scaling efficiency = aggregate throughput vs n x the single-device
+        # throughput. (Per-device work is NOT constant here: causal ring
+        # attention over a t_local*n global sequence does ~n x the per-device
+        # FLOPs of the n=1 case, so comparing raw step times would punish
+        # perfect hardware — throughput ratio is the honest metric.)
+        eff[n] = rate / (n * base_rate)
+        rows.append({"n": n, "ms_per_step": round(t * 1e3, 3),
+                     "tflops_global": round(rate / 1e12, 2),
+                     "efficiency": round(eff[n], 4)})
+        log(f"n={n:2d}: {t*1e3:8.3f} ms/step  {rate/1e12:6.1f} TFLOP/s "
             f"(global)  efficiency={eff[n]*100:5.1f}%")
 
     n_max = sizes[-1]
@@ -82,6 +91,8 @@ def main():
         "value": round(eff[n_max], 4),
         "unit": "fraction",
         "vs_baseline": round(eff[n_max] / 0.85, 4),
+        "device_kind": jax.devices()[0].device_kind,
+        "rows": rows,
     }))
 
 

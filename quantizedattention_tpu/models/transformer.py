@@ -289,6 +289,73 @@ def prefill_slot(
     return sample_token(logits, temperature, key), new_caches
 
 
+def prefill_chunk(
+    params, caches, tokens, chunk_start: int, true_end, slot,
+    cfg: TransformerConfig, last: bool, temperature: float = 0.0, key=None,
+):
+    """One chunk of a CHUNKED prefill into cache row `slot`.
+
+    tokens: [c] int32, the prompt slice [chunk_start : chunk_start+c] (the
+    last chunk right-padded; true_end = real prompt length). Chunk queries
+    attend causally within the chunk (flash kernel) and non-causally to the
+    already-cached prefix (dequantized int8 rows through the same flash
+    kernel), merged with the ring rescale identity — so a long prompt
+    prefills in O(prompt/chunk) bounded steps and the engine can interleave
+    decode steps of other slots between chunks (the round-1 verdict's
+    prefill-stall gap). chunk_start is static: one compile per chunk index
+    per bucket, bounded by max_seq/chunk.
+
+    Returns (token | None, caches): the sampled first token on the last
+    chunk, None otherwise.
+    """
+    from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+    from quantizedattention_tpu.parallel.kv_cache import write_kv_chunk
+    from quantizedattention_tpu.parallel.ring import _merge_partials
+
+    c = tokens.shape[0]
+    rep = cfg.n_heads // cfg.n_kv_heads
+    x = params["embed"][tokens][None]
+    positions = chunk_start + jnp.arange(c)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln1"])
+        q, k, v = _project_qkv(layer, h, cfg, positions)
+        # row length grows chunk by chunk (never past the real prompt end),
+        # so concurrent decode steps of OTHER slots only ever see written
+        # positions of this row
+        cache = write_kv_chunk(
+            cache, slot, k[0], v[0], chunk_start,
+            jnp.minimum(chunk_start + c, true_end),
+        )
+        k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+        v_r = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+        o, lse = flash_attention_fwd(q, k_r, v_r, causal=True)
+        if chunk_start > 0:
+            # prefix part: dequantized int8 rows of [0, chunk_start) — the
+            # same quantized values every later decode step reads
+            k_pre = (
+                cache.k_i8[slot, :, :chunk_start].astype(jnp.float32)
+                * cache.sk[slot, :, :chunk_start, None]
+            )[None]
+            v_pre = (
+                cache.v_i8[slot, :, :chunk_start].astype(jnp.float32)
+                * cache.sv[slot, :, :chunk_start, None]
+            )[None]
+            if rep > 1:
+                k_pre = jnp.repeat(k_pre, rep, axis=1)
+                v_pre = jnp.repeat(v_pre, rep, axis=1)
+            o2, lse2 = flash_attention_fwd(q, k_pre, v_pre, causal=False)
+            o, lse = _merge_partials(o, lse, o2, lse2)
+        o = o.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_heads * cfg.head_dim)
+        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        new_caches.append(cache)
+    if not last:
+        return None, new_caches
+    x = rmsnorm(x, params["final_norm"])
+    logits = x[0, true_end - 1 - chunk_start] @ params["unembed"]
+    return sample_token(logits, temperature, key), new_caches
+
+
 def prefill_batched(
     params, caches, prompt, cfg: TransformerConfig,
     temperature: float = 0.0, key=None,

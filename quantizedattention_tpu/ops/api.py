@@ -97,7 +97,7 @@ def flash_attention_bf16(
     (Precision.HIGHEST) for oracle-grade gradients.
     """
     if config is None:
-        config = default_block_config("bf16", q.shape[2], k.shape[2])
+        config = default_block_config("bf16", q.shape[2], k.shape[2], q.shape[3])
     return _flash_attention_bf16(q, k, v, causal, sm_scale, config, correction, bwd_exact)
 
 
@@ -155,7 +155,7 @@ def sage_attention_int8(
     the reference kernel (which has no causal path at all — ours does).
     """
     if config is None:
-        config = default_block_config("int8", q.shape[2], k.shape[2])
+        config = default_block_config("int8", q.shape[2], k.shape[2], q.shape[3])
     # Primals are carried in f32 (quantization inside produces the int8 path;
     # f32 primals keep the custom_vjp cotangent dtypes uniform).
     return _sage_attention_int8(
@@ -256,7 +256,7 @@ def attention_jvp(
     `attention_value_and_jvp`.
     """
     if config is None:
-        config = default_block_config("jvp", q.shape[2], k.shape[2])
+        config = default_block_config("jvp", q.shape[2], k.shape[2], q.shape[3])
     return _attention_jvp(q, k, v, causal, sm_scale, config)
 
 
@@ -309,7 +309,7 @@ def attention_value_and_jvp(
     describes (attention_jvp.py:1-11).
     """
     if config is None:
-        config = default_block_config("jvp", q.shape[2], k.shape[2])
+        config = default_block_config("jvp", q.shape[2], k.shape[2], q.shape[3])
     f32 = jnp.float32
     return _attention_value_and_jvp(
         q.astype(f32), k.astype(f32), v.astype(f32),

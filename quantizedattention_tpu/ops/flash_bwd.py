@@ -202,7 +202,7 @@ def flash_attention_bwd(
     batch, head, q_tokens, head_dim = q.shape
     kv_len = k.shape[2]
     if config is None:
-        config = default_block_config("fp32", q_tokens, kv_len)
+        config = default_block_config("fp32", q_tokens, kv_len, head_dim)
     block_q, block_kv = config.block_q_bwd, config.block_kv_bwd
     sm_scale, qk_scale = qk_scales(head_dim, sm_scale)
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST

@@ -224,7 +224,7 @@ def flash_attention_fwd(
     batch, head, q_tokens, head_dim = q.shape
     kv_len = k.shape[2]
     if config is None:
-        config = default_block_config("bf16" if precision == "bf16" else "fp32", q_tokens, kv_len)
+        config = default_block_config("bf16" if precision == "bf16" else "fp32", q_tokens, kv_len, head_dim)
     block_q, block_kv = config.block_q, config.block_kv
 
     if precision == "bf16":

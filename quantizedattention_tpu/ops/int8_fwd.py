@@ -231,7 +231,7 @@ def int8_attention_fwd(
     batch, head, q_tokens, head_dim = q.shape
     kv_len = k.shape[2]
     if config is None:
-        config = default_block_config("int8", q_tokens, kv_len)
+        config = default_block_config("int8", q_tokens, kv_len, head_dim)
     residuals = quantize_qkv(q, k, v, config, k_sub=k_sub)
     o, lse = int8_attention_fwd_from_quantized(
         residuals,
@@ -261,7 +261,7 @@ def int8_attention_fwd_from_quantized(
     (q_i8, sq), (k_i8, sk), (v_i8, sv) = residuals
     batch, head, q_tokens, kv_len, head_dim = dims
     if config is None:
-        config = default_block_config("int8", q_tokens, kv_len)
+        config = default_block_config("int8", q_tokens, kv_len, head_dim)
     block_q, block_kv = config.block_q, config.block_kv
     _, qk_scale = qk_scales(head_dim, sm_scale)
 

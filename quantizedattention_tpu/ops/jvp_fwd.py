@@ -138,7 +138,7 @@ def attention_jvp_fwd(
     batch, head, q_tokens, head_dim = q.shape
     kv_len = k.shape[2]
     if config is None:
-        config = default_block_config("jvp", q_tokens, kv_len)
+        config = default_block_config("jvp", q_tokens, kv_len, head_dim)
     block_q, block_kv = config.block_q, config.block_kv
     sm_scale, qk_scale = qk_scales(head_dim, sm_scale)
 

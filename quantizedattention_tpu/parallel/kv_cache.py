@@ -140,6 +140,35 @@ def write_kv_slot(
     )
 
 
+def write_kv_chunk(
+    cache: QuantizedKVCache,
+    slot: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    start,
+    new_len: jnp.ndarray,
+) -> QuantizedKVCache:
+    """Chunked-prefill write: quantize [h_kv, c, d] K/V and install them at
+    (row `slot`, position `start`), setting the row length to `new_len`
+    (chunked prefill appends prompt chunks left to right; the serving engine
+    interleaves decode steps of OTHER slots between chunks)."""
+    k_i8, sk = _row_quant(k_new.astype(jnp.float32))
+    v_i8, sv = _row_quant(v_new.astype(jnp.float32))
+    start = jnp.asarray(start, jnp.int32)
+
+    def put(buf, val):
+        idx = (slot, jnp.int32(0), start) + (jnp.int32(0),) * (buf.ndim - 3)
+        return jax.lax.dynamic_update_slice(buf, val[None], idx)
+
+    return QuantizedKVCache(
+        k_i8=put(cache.k_i8, k_i8),
+        sk=put(cache.sk, sk),
+        v_i8=put(cache.v_i8, v_i8),
+        sv=put(cache.sv, sv),
+        length=cache.length.at[slot].set(new_len.astype(jnp.int32)),
+    )
+
+
 def _decode_kernel(
     len_ref,  # SMEM [batch] int32
     q_ref, k_ref, sk_ref, v_ref, sv_ref,

@@ -310,7 +310,7 @@ def ring_attention(
     ~1/4 the ICI bytes of the bf16 ring. Returns the local O shard in f32.
     """
     if config is None:
-        config = default_block_config(kind, q.shape[2], q.shape[2])
+        config = default_block_config(kind, q.shape[2], q.shape[2], q.shape[3])
     if kind == "bf16":
         return _ring_bf16(q, k, v, axis_name, causal, sm_scale, config)
     if kind == "int8":

@@ -43,6 +43,7 @@ from quantizedattention_tpu.models.transformer import (
     TransformerConfig,
     decode_horizon_batched,
     decode_step_batched,
+    prefill_chunk as prefill_chunk_step,
     prefill_slot,
     rmsnorm,
     rope,
@@ -103,6 +104,7 @@ class ServingEngine:
         n_pages: int | None = None,
         param_dtype=None,
         decode_horizon: int = 1,
+        prefill_chunk: int | None = None,
     ):
         if param_dtype is not None:
             # serving needs no f32 master weights; bf16 halves weight HBM
@@ -117,6 +119,15 @@ class ServingEngine:
         self.n_slots = n_slots
         self.eos_id = eos_id
         self.decode_horizon = decode_horizon
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None:
+            if prefill_chunk % 128 != 0 or prefill_chunk <= 0:
+                raise ValueError("prefill_chunk must be a positive multiple of 128")
+            if cache != "slotted" or mesh is not None:
+                raise ValueError("chunked prefill currently requires the "
+                                 "single-host slotted cache")
+        self._pending: dict | None = None  # in-flight chunked prefill
+        self._pending_decode_turn = False
         self.temperature = temperature
         self._key = jax.random.key(seed) if temperature > 0.0 else None
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
@@ -203,6 +214,10 @@ class ServingEngine:
             self._prefill = jax.jit(
                 functools.partial(prefill_slot, cfg=cfg, temperature=temperature)
             )
+            self._prefill_chunk_fn = jax.jit(
+                functools.partial(prefill_chunk_step, cfg=cfg, temperature=temperature),
+                static_argnames=("chunk_start", "last"),
+            )
         self.params = params
         self.caches = caches
         self.last_tok = last_tok
@@ -280,7 +295,22 @@ class ServingEngine:
     # -- engine side ---------------------------------------------------------
 
     def step(self) -> bool:
-        """One scheduler action (prefill XOR batched decode). False if idle."""
+        """One engine action. False if idle.
+
+        With an in-flight chunked prefill, actions alternate between one
+        decode step (running slots keep emitting tokens) and one prompt
+        chunk — a long prompt no longer stalls decodes to completion.
+        Otherwise: one scheduler action (prefill XOR batched decode).
+        """
+        if self._pending is not None:
+            has_decodes = any(r >= 0 for r in self._slot_req)
+            if self._pending_decode_turn and has_decodes:
+                self._pending_decode_turn = False
+                self._do_decode()
+            else:
+                self._pending_decode_turn = True
+                self._do_prefill_chunk()
+            return True
         action, rid, slot = self.sched.next_action()
         if action == IDLE:
             return False
@@ -320,8 +350,41 @@ class ServingEngine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _do_prefill_chunk(self):
+        """Advance the in-flight chunked prefill by one chunk."""
+        p = self._pending
+        prompt, slot, rid = p["prompt"], p["slot"], p["rid"]
+        chunk = self.prefill_chunk
+        i = p["next"]
+        n_chunks = -(-len(prompt) // chunk)
+        sl = prompt[i * chunk:(i + 1) * chunk]
+        tokens = jnp.asarray(sl + [0] * (chunk - len(sl)), jnp.int32)
+        last = i == n_chunks - 1
+        tok, self.caches = self._prefill_chunk_fn(
+            self.params, self.caches, tokens,
+            chunk_start=i * chunk, true_end=jnp.int32(len(prompt)),
+            slot=jnp.int32(slot), last=last, key=self._next_key() if last else None,
+        )
+        if not last:
+            p["next"] = i + 1
+            return
+        self._pending = None
+        first = int(tok)
+        self._slot_req[slot] = rid
+        self.last_tok = self.last_tok.at[slot].set(first)
+        self.pos = self.pos.at[slot].set(len(prompt))
+        self.active = self.active.at[slot].set(True)
+        self._record(slot, first)
+
     def _do_prefill(self, rid: int, slot: int):
         prompt = self._prompts[rid]
+        if self.prefill_chunk is not None and len(prompt) > self.prefill_chunk:
+            # long prompt: chunked admission — the slot is reserved now, and
+            # step() interleaves decode steps between the chunks
+            self._pending = {"rid": rid, "slot": slot, "prompt": prompt, "next": 0}
+            self._pending_decode_turn = True
+            self._do_prefill_chunk()
+            return
         if self.cache_kind == "paged":
             ps = self._page_size
             # allocate pages for the whole prompt+generation budget up front

@@ -1,15 +1,28 @@
-"""Power-of-two block-size sweep with a persisted best-config cache.
+"""Block-size sweeps with a persisted best-config cache the defaults consult.
 
 The TPU analogue of the reference's tune-then-pin workflow: Helion's
 `PowerOfTwoFragment(32, 256, 32)` sweep plus the recorded best RTX3080 config
 left in a comment (reference: attention_int8.py:155-159,
-attention_bf16.py:734-748, README.md:57-67). Here the sweep is explicit and
-the winner is persisted to JSON keyed by (kernel kind, shape, device kind).
+attention_bf16.py:734-748, README.md:57-67). Here:
+
+  * `autotune`       — forward sweep over (block_q, block_kv,
+                       block_kv_compute), candidates up to the full padded
+                       sequence (the pinned v5e optimum block_kv=8192 IS in
+                       the sweep space);
+  * `autotune_bwd`   — independent backward sweep over (block_q_bwd,
+                       block_kv_bwd);
+  * `autotune_decode`— decode-kernel block_kv sweep (kv_cache /
+                       paged_decode share the dimension);
+  * winners persist to JSON keyed by (kind, q_tokens, kv_tokens, head_dim,
+    device kind) — and `tune.config.default_block_config` CONSULTS that
+    cache, so a tuned shape is picked up by the public API on the next
+    call with no plumbing.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 import json
 import os
@@ -27,8 +40,9 @@ def _cache_path() -> str:
     return os.environ.get(_CACHE_ENV, _DEFAULT_CACHE)
 
 
-def _cache_key(kind: str, shape, device_kind: str) -> str:
-    return f"{kind}|{'x'.join(map(str, shape))}|{device_kind}"
+def _cache_key(kind: str, q_tokens: int, kv_tokens: int, head_dim: int,
+               device_kind: str) -> str:
+    return f"{kind}|q{q_tokens}|kv{kv_tokens}|d{head_dim}|{device_kind}"
 
 
 def _load_cache() -> dict:
@@ -42,17 +56,42 @@ def _load_cache() -> dict:
     return {}
 
 
-def load_cached_config(kind: str, shape) -> BlockConfig | None:
-    key = _cache_key(kind, shape, jax.devices()[0].device_kind)
-    entry = _load_cache().get(key)
-    return BlockConfig(**entry) if entry else None
+@functools.lru_cache(maxsize=256)
+def _cached_entry(path: str, mtime: float, key: str):
+    cache = _load_cache()
+    return tuple(sorted(cache[key].items())) if key in cache else None
 
 
-def save_config(kind: str, shape, config: BlockConfig) -> None:
+def load_cached_config(kind: str, q_tokens: int, kv_tokens: int,
+                       head_dim: int) -> BlockConfig | None:
+    """Cheap (mtime-memoized) lookup of a previously tuned config."""
+    path = _cache_path()
+    try:
+        # nanosecond mtime + size: second-resolution mtime can alias a
+        # write-then-read within the same second and serve a stale memo
+        st = os.stat(path)
+        mtime = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    try:
+        device_kind = jax.devices()[0].device_kind
+    except RuntimeError:
+        return None
+    entry = _cached_entry(path, mtime, _cache_key(kind, q_tokens, kv_tokens, head_dim, device_kind))
+    if entry is None:
+        return None
+    d = dict(entry)
+    d = {k: v for k, v in d.items() if k in BlockConfig.__dataclass_fields__}
+    return BlockConfig(**d)
+
+
+def save_config(kind: str, q_tokens: int, kv_tokens: int, head_dim: int,
+                config) -> None:
     path = _cache_path()
     os.makedirs(os.path.dirname(path), exist_ok=True)
     cache = _load_cache()
-    cache[_cache_key(kind, shape, jax.devices()[0].device_kind)] = dataclasses.asdict(config)
+    entry = dataclasses.asdict(config) if dataclasses.is_dataclass(config) else dict(config)
+    cache[_cache_key(kind, q_tokens, kv_tokens, head_dim, jax.devices()[0].device_kind)] = entry
     with open(path, "w") as f:
         json.dump(cache, f, indent=2, sort_keys=True)
 
@@ -88,34 +127,107 @@ def _time_one(fn, args, iters: int = 10, n_chain: int = 32) -> float:
     return times[len(times) // 2] / n_chain
 
 
+def _pow2_upto(lo: int, hi: int):
+    c, out = lo, []
+    while c <= hi:
+        out.append(c)
+        c *= 2
+    return out
+
+
+def _padded(tokens: int) -> int:
+    return -(-tokens // 128) * 128
+
+
 def autotune(
     kind: str,
     make_fn,
     args,
     q_tokens: int,
     kv_tokens: int,
-    block_candidates=(128, 256, 512),
+    block_candidates=None,
+    kv_candidates=None,
+    compute_candidates=(0, 512, 1024),
     iters: int = 10,
     use_cache: bool = True,
 ):
-    """Sweep (block_q, block_kv) over power-of-two candidates; pin the winner.
+    """Forward sweep over (block_q, block_kv, block_kv_compute); pin the
+    winner. `make_fn(config) -> callable(*args)` builds the kernel under
+    test. Returns (best_config, best_seconds — None on cache hit).
 
-    `make_fn(config) -> callable(*args)` builds the kernel under test. Returns
-    (best_config, best_seconds). Candidates that fail to compile (VMEM
-    overflow at large blocks) are skipped, mirroring the reference's
-    shared-memory-limited pinning (attention_bf16.py:302-307).
+    block_q candidates default to powers of two up to min(1024, padded q);
+    block_kv up to min(8192, padded kv) (large DMA blocks with compute
+    subtiles are the measured v5e optimum — the sweep space contains the
+    pinned defaults). Candidates that fail to compile (VMEM overflow) are
+    skipped, mirroring the reference's shared-memory-limited pinning
+    (attention_bf16.py:302-307).
     """
-    shape = jax.tree_util.tree_leaves(args)[0].shape
+    head_dim = jax.tree_util.tree_leaves(args)[0].shape[-1]
     if use_cache:
-        cached = load_cached_config(kind, shape)
+        cached = load_cached_config(kind, q_tokens, kv_tokens, head_dim)
         if cached is not None:
             return cached, None
 
+    if block_candidates is None:
+        block_candidates = _pow2_upto(128, min(1024, _padded(q_tokens)))
+    if kv_candidates is None:
+        kv_candidates = _pow2_upto(256, min(8192, _padded(kv_tokens)))
+
     best_cfg, best_t = None, float("inf")
-    for bq, bkv in itertools.product(block_candidates, block_candidates):
-        if bq > q_tokens or bkv > kv_tokens:
-            continue
-        cfg = BlockConfig(block_q=bq, block_kv=bkv, block_q_bwd=min(bq, 256), block_kv_bwd=min(bkv, 256))
+    for bq, bkv in itertools.product(block_candidates, kv_candidates):
+        for sub in compute_candidates:
+            if sub and (sub >= bkv or bkv % sub):
+                continue
+            cfg = BlockConfig(block_q=bq, block_kv=bkv, block_kv_compute=sub)
+            try:
+                t = _time_one(make_fn(cfg), args, iters=iters)
+            except Exception:
+                continue
+            if t < best_t:
+                best_cfg, best_t = cfg, t
+    if best_cfg is None:
+        raise RuntimeError(f"autotune({kind}): no candidate compiled")
+    if use_cache:
+        # merge with any separately tuned backward blocks
+        prev = load_cached_config(kind, q_tokens, kv_tokens, head_dim)
+        if prev is not None:
+            best_cfg = dataclasses.replace(
+                best_cfg, block_q_bwd=prev.block_q_bwd, block_kv_bwd=prev.block_kv_bwd
+            )
+        save_config(kind, q_tokens, kv_tokens, head_dim, best_cfg)
+    return best_cfg, best_t
+
+
+def autotune_bwd(
+    kind: str,
+    make_fn,
+    args,
+    q_tokens: int,
+    kv_tokens: int,
+    candidates=None,
+    iters: int = 10,
+    use_cache: bool = True,
+):
+    """Independent backward sweep over (block_q_bwd, block_kv_bwd).
+
+    `make_fn(config) -> callable(*args)` should run the BACKWARD under test
+    (e.g. jax.grad of the public API with this config). The winner's bwd
+    blocks merge into the cached entry for (kind, shape), preserving any
+    tuned forward blocks.
+    """
+    head_dim = jax.tree_util.tree_leaves(args)[0].shape[-1]
+    if candidates is None:
+        candidates = _pow2_upto(128, min(1024, _padded(min(q_tokens, kv_tokens))))
+
+    base = load_cached_config(kind, q_tokens, kv_tokens, head_dim)
+    if base is None:
+        from quantizedattention_tpu.tune.config import default_block_config
+
+        base = default_block_config(kind, q_tokens, kv_tokens)
+
+    best_cfg, best_t = None, float("inf")
+    for bq, bkv in itertools.product(candidates, candidates):
+        cfg = dataclasses.replace(base, block_q_bwd=bq, block_kv_bwd=bkv)
         try:
             t = _time_one(make_fn(cfg), args, iters=iters)
         except Exception:
@@ -123,7 +235,45 @@ def autotune(
         if t < best_t:
             best_cfg, best_t = cfg, t
     if best_cfg is None:
-        raise RuntimeError(f"autotune({kind}): no candidate compiled")
+        raise RuntimeError(f"autotune_bwd({kind}): no candidate compiled")
     if use_cache:
-        save_config(kind, shape, best_cfg)
+        save_config(kind, q_tokens, kv_tokens, head_dim, best_cfg)
     return best_cfg, best_t
+
+
+def autotune_decode(
+    make_fn,
+    args,
+    max_len: int,
+    candidates=None,
+    iters: int = 10,
+    use_cache: bool = True,
+):
+    """Decode-kernel sweep over block_kv (the lane-axis block of
+    kv_cache.decode_attention / paged_decode_attention).
+
+    `make_fn(block_kv) -> callable(*args)`. Returns (best_block_kv,
+    best_seconds). Cached under kind='decode' with q_tokens=1.
+    """
+    head_dim = jax.tree_util.tree_leaves(args)[0].shape[-1]
+    if use_cache:
+        cached = load_cached_config("decode", 1, max_len, head_dim)
+        if cached is not None:
+            return cached.block_kv, None
+    if candidates is None:
+        candidates = _pow2_upto(128, min(2048, _padded(max_len)))
+
+    best_b, best_t = None, float("inf")
+    for bkv in candidates:
+        try:
+            t = _time_one(make_fn(bkv), args, iters=iters)
+        except Exception:
+            continue
+        if t < best_t:
+            best_b, best_t = bkv, t
+    if best_b is None:
+        raise RuntimeError("autotune_decode: no candidate compiled")
+    if use_cache:
+        save_config("decode", 1, max_len, head_dim,
+                    BlockConfig(block_q=128, block_kv=best_b))
+    return best_b, best_t

@@ -75,7 +75,9 @@ class BlockConfig:
             block_kv=block_kv,
             block_q_bwd=fit(self.block_q_bwd, q_tokens),
             block_kv_bwd=fit(self.block_kv_bwd, kv_tokens),
-            block_kv_compute=compute,
+            # canonical single-level form is 0 (keeps clamp idempotent:
+            # clamp(cfg) == clamp(clamp(cfg)) even as dataclass equality)
+            block_kv_compute=0 if compute == block_kv else compute,
         )
 
 
@@ -110,5 +112,18 @@ _DEFAULTS = {
 }
 
 
-def default_block_config(kind: str, q_tokens: int, kv_tokens: int) -> BlockConfig:
+def default_block_config(
+    kind: str, q_tokens: int, kv_tokens: int, head_dim: int | None = None
+) -> BlockConfig:
+    """Pinned defaults, overridden by the autotune JSON cache when a tuned
+    entry exists for (kind, q_tokens, kv_tokens, head_dim) on this device
+    kind — tune once with tune.autotune and every public-API call on that
+    shape picks it up (the reference pins tuned configs in source,
+    attention_bf16.py:734-748; here the pin is the persisted cache)."""
+    if head_dim is not None:
+        from quantizedattention_tpu.tune.autotune import load_cached_config
+
+        tuned = load_cached_config(kind, q_tokens, kv_tokens, head_dim)
+        if tuned is not None:
+            return tuned.clamp(q_tokens, kv_tokens)
     return _DEFAULTS[kind].clamp(q_tokens, kv_tokens)

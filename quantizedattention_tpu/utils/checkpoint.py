@@ -1,8 +1,17 @@
 """Checkpoint/resume for model params and optimizer state.
 
-The reference persists nothing (SURVEY.md §5); production training needs at
-least durable params. Orbax handles the heavy multi-host case; this wraps it
-with a plain-numpy fallback so checkpointing works in minimal environments.
+The reference persists nothing (SURVEY.md §5); production training needs
+durable params. Two backends behind one (path, tree) API:
+
+  * Orbax (preferred): handles sharded arrays — each leaf is written from /
+    restored to its jax.sharding, so a dp x tp x sp train state checkpoints
+    and resumes WITHOUT gathering to one host (`like`'s shardings are the
+    restore layout). This is the multi-host path.
+  * numpy fallback: plain savez for minimal environments (no orbax);
+    single-host only.
+
+`load_checkpoint` auto-detects the on-disk format, so either backend can
+read its own writes after an environment change.
 """
 
 from __future__ import annotations
@@ -13,9 +22,32 @@ import os
 import jax
 import numpy as np
 
+try:
+    import orbax.checkpoint as _ocp
+except ImportError:  # pragma: no cover - orbax is in the standard image
+    _ocp = None
 
-def save_checkpoint(path: str, tree) -> None:
-    """Save a pytree of arrays to `path` (directory)."""
+
+def _is_orbax_dir(path: str) -> bool:
+    return os.path.isdir(path) and not os.path.exists(os.path.join(path, "leaves.npz"))
+
+
+def save_checkpoint(path: str, tree, backend: str = "auto") -> None:
+    """Save a pytree of (possibly sharded) arrays to `path` (directory).
+
+    backend: "auto" (orbax when importable), "orbax", or "numpy".
+    """
+    if backend not in ("auto", "orbax", "numpy"):
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+    use_orbax = _ocp is not None if backend == "auto" else backend == "orbax"
+    if use_orbax:
+        if _ocp is None:
+            raise RuntimeError("orbax backend requested but orbax is not importable")
+        path = os.path.abspath(path)
+        ckptr = _ocp.StandardCheckpointer()
+        ckptr.save(path, tree, force=True)
+        ckptr.wait_until_finished()
+        return
     os.makedirs(path, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     np.savez(os.path.join(path, "leaves.npz"),
@@ -25,12 +57,27 @@ def save_checkpoint(path: str, tree) -> None:
 
 
 def load_checkpoint(path: str, like):
-    """Load a pytree saved by save_checkpoint, shaped like `like`."""
+    """Load a pytree saved by save_checkpoint, shaped (and SHARDED) like
+    `like`: every restored leaf lands on `like`'s sharding, so a pod-sharded
+    train state restores shard-by-shard with no host gather. `like` may hold
+    real arrays or jax.ShapeDtypeStruct(shape, dtype, sharding=...)."""
+    if _is_orbax_dir(path):
+        if _ocp is None:
+            raise RuntimeError(f"{path} is an orbax checkpoint but orbax is not importable")
+
+        def abstract(x):
+            if isinstance(x, jax.ShapeDtypeStruct):
+                return x
+            sharding = getattr(x, "sharding", None)
+            return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+        ckptr = _ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), jax.tree_util.tree_map(abstract, like))
     data = np.load(os.path.join(path, "leaves.npz"))
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves_like)
     loaded = [data[f"leaf_{i}"] for i in range(n)]
     for got, want in zip(loaded, leaves_like):
-        if got.shape != want.shape:
-            raise ValueError(f"checkpoint leaf shape {got.shape} != expected {want.shape}")
+        if got.shape != np.shape(want):
+            raise ValueError(f"checkpoint leaf shape {got.shape} != expected {np.shape(want)}")
     return jax.tree_util.tree_unflatten(treedef, [jax.numpy.asarray(x) for x in loaded])
