@@ -68,13 +68,20 @@ def make_pod_mesh(
     devices = jax.devices()
     if n != len(devices):
         raise ValueError(f"mesh {data_dcn}x{data}x{model}x{context}={n} != {len(devices)} devices")
-    if data_dcn > 1:
+    if data_dcn > 1 and hasattr(devices[0], "slice_index"):
+        # real pod slices: lay DCN replicas outermost so only the gradient
+        # psum crosses DCN
         from jax.experimental import mesh_utils
 
         dev_array = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(data, model, context),
             dcn_mesh_shape=(data_dcn, 1, 1),
         )
+    elif data_dcn > 1:
+        # no slice topology (single process / emulated devices): the DCN
+        # grouping degenerates to plain data parallelism — contiguous device
+        # blocks stand in for slices so the same script stays runnable in CI
+        dev_array = np.asarray(devices).reshape(data_dcn, data, model, context)
     else:
         dev_array = np.asarray(devices).reshape(data, model, context)
     return Mesh(dev_array.reshape(data_dcn * data, model, context),

@@ -128,6 +128,7 @@ class ServingEngine:
                                  "single-host slotted cache")
         self._pending: dict | None = None  # in-flight chunked prefill
         self._pending_decode_turn = False
+        self._pending_bank = None  # pipelined horizon bank awaiting its fetch
         self.temperature = temperature
         self._key = jax.random.key(seed) if temperature > 0.0 else None
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
@@ -313,7 +314,9 @@ class ServingEngine:
             return True
         action, rid, slot = self.sched.next_action()
         if action == IDLE:
-            return False
+            # drain the pipelined horizon bank before declaring idle (its
+            # tokens may finish requests or free slots)
+            return self._flush_pending_bank()
         if action == PREFILL:
             self._do_prefill(rid, slot)
         elif action == DECODE:
@@ -430,21 +433,44 @@ class ServingEngine:
         self.active = self.active.at[slot].set(True)
         self._record(slot, first)
 
+    def _flush_pending_bank(self) -> bool:
+        """Record the tokens of the previously dispatched horizon bank."""
+        if self._pending_bank is None:
+            return False
+        bank, owners = self._pending_bank
+        self._pending_bank = None
+        toks = np.asarray(bank)  # the fetch — overlaps the bank dispatched after it
+        for step_toks in toks:
+            for slot, rid in owners:
+                # the slot must still belong to the request it was decoding
+                # when this bank was dispatched (not finished mid-horizon,
+                # not re-admitted to a new request since)
+                if self._slot_req[slot] == rid:
+                    self._record(slot, int(step_toks[slot]))
+        return True
+
     def _do_decode(self):
         active_before = [i for i in range(self.n_slots) if self._slot_req[i] >= 0]
         if self.decode_horizon > 1:
             # K chained steps in one jit; ONE host fetch banks K tokens.
             # Slots that finish mid-horizon have their surplus discarded
             # (they kept decoding into their own soon-to-be-reset cache).
+            # PIPELINED: dispatch bank N+1 BEFORE fetching bank N's tokens,
+            # so the host round-trip (~26 ms through this relay) overlaps
+            # the next bank's device execution. EOS/budget bookkeeping lags
+            # one bank — surplus tokens are discarded exactly like the
+            # in-bank surplus above.
             bank, self.caches, self.last_tok, self.pos = self._decode_horizon(
                 self.params, self.caches, self.last_tok, self.pos, self.active,
                 key=self._next_key(),
             )
-            toks = np.asarray(bank)  # [horizon, n_slots]
-            for step_toks in toks:
-                for slot in active_before:
-                    if self._slot_req[slot] >= 0:  # not finished mid-horizon
-                        self._record(slot, int(step_toks[slot]))
+            self._flush_pending_bank()
+            # the flush may have finished requests that this (already
+            # dispatched) bank is still decoding — exclude them: their bank
+            # rows are surplus
+            owners = [(s, self._slot_req[s]) for s in active_before
+                      if self._slot_req[s] >= 0]
+            self._pending_bank = (bank, owners)
             return
         next_tok, self.caches = self._decode(
             self.params, self.caches, self.last_tok, self.pos, self.active,

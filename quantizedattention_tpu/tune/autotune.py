@@ -188,12 +188,17 @@ def autotune(
     if best_cfg is None:
         raise RuntimeError(f"autotune({kind}): no candidate compiled")
     if use_cache:
-        # merge with any separately tuned backward blocks
+        # the forward sweep must not clobber backward blocks: merge with any
+        # separately tuned bwd blocks, else inherit the pinned defaults
+        # (NOT the dataclass defaults, which are conservative 128s)
         prev = load_cached_config(kind, q_tokens, kv_tokens, head_dim)
-        if prev is not None:
-            best_cfg = dataclasses.replace(
-                best_cfg, block_q_bwd=prev.block_q_bwd, block_kv_bwd=prev.block_kv_bwd
-            )
+        if prev is None:
+            from quantizedattention_tpu.tune.config import _DEFAULTS
+
+            prev = _DEFAULTS[kind].clamp(q_tokens, kv_tokens)
+        best_cfg = dataclasses.replace(
+            best_cfg, block_q_bwd=prev.block_q_bwd, block_kv_bwd=prev.block_kv_bwd
+        )
         save_config(kind, q_tokens, kv_tokens, head_dim, best_cfg)
     return best_cfg, best_t
 
