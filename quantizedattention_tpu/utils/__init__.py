@@ -7,6 +7,13 @@ from quantizedattention_tpu.utils.profiling import (
     time_attention,
 )
 from quantizedattention_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from quantizedattention_tpu.utils.failure import (
+    FailureEvent,
+    StepGuard,
+    Watchdog,
+    device_heartbeat,
+    hosts_alive,
+)
 
 __all__ = [
     "mismatch_report",
@@ -20,4 +27,9 @@ __all__ = [
     "time_attention",
     "save_checkpoint",
     "load_checkpoint",
+    "FailureEvent",
+    "StepGuard",
+    "Watchdog",
+    "device_heartbeat",
+    "hosts_alive",
 ]

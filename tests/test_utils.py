@@ -194,3 +194,89 @@ def test_autotune_decode_sweep(tmp_path, monkeypatch, rng):
     assert best in (128, 256) and t is not None
     cached, t2 = autotune_decode(make_fn, (q,), 256)
     assert cached == best and t2 is None
+
+
+# ---------------------------------------------------------------------------
+# Failure detection (utils/failure.py)
+# ---------------------------------------------------------------------------
+
+def test_device_heartbeat_fast():
+    from quantizedattention_tpu.utils import device_heartbeat
+
+    t = device_heartbeat()
+    assert 0 < t < 60.0
+
+
+def test_hosts_alive_single_process():
+    from quantizedattention_tpu.utils import hosts_alive
+
+    assert hosts_alive(timeout_s=120.0) == jax.process_count()
+
+
+def test_watchdog_healthy_probe():
+    import time
+
+    from quantizedattention_tpu.utils import Watchdog
+
+    wd = Watchdog(probe=lambda: 0.001, interval_s=0.01, timeout_s=5.0)
+    with wd:
+        time.sleep(0.2)
+    assert wd.probes_ok >= 2 and not wd.failures
+
+
+def test_watchdog_detects_hung_probe():
+    import time
+
+    from quantizedattention_tpu.utils import Watchdog
+
+    events = []
+    wd = Watchdog(probe=lambda: time.sleep(30), interval_s=0.01,
+                  timeout_s=0.3, on_failure=events.append)
+    wd.start()
+    deadline = time.time() + 10
+    while not wd.failures and time.time() < deadline:
+        time.sleep(0.05)
+    wd._stop.set()  # don't join the wedged probe
+    assert wd.failures and wd.failures[0].kind == "probe_timeout"
+    assert events and events[0] is wd.failures[0]
+
+
+def test_watchdog_detects_probe_error():
+    import time
+
+    from quantizedattention_tpu.utils import Watchdog
+
+    def bad():
+        raise RuntimeError("chip on fire")
+
+    wd = Watchdog(probe=bad, interval_s=0.01, timeout_s=1.0)
+    wd.start()
+    deadline = time.time() + 10
+    while not wd.failures and time.time() < deadline:
+        time.sleep(0.05)
+    wd.stop()
+    assert wd.failures and wd.failures[0].kind == "probe_error"
+    assert "chip on fire" in wd.failures[0].detail
+
+
+def test_step_guard_flags_stall_and_calls_back():
+    import time
+
+    from quantizedattention_tpu.utils import StepGuard
+
+    delays = [0.01, 0.01, 0.01, 0.01, 0.5]  # last step is a 50x straggler
+    it = iter(delays)
+    stalls = []
+
+    def step(x):
+        time.sleep(next(it))
+        return x + 1
+
+    guarded = StepGuard(step, stall_factor=10.0, warmup_steps=3,
+                        on_stall=stalls.append)
+    x = jnp.zeros(())
+    for _ in delays:
+        x = guarded(x)
+    assert float(x) == len(delays)
+    assert len(guarded.stalls) == 1 and stalls[0].kind == "stall"
+    assert len(guarded.durations) == len(delays)
