@@ -1,7 +1,9 @@
-"""Pallas TPU kernels + jax.custom_vjp / custom_jvp integration.
+"""Pallas TPU kernels + jax.custom_vjp / custom_jvp / custom_transpose AD.
 
 The TPU-native counterpart of the reference's five @helion.kernel functions
-and their torch.autograd.Function wrappers (SURVEY.md §1 L2+L3):
+and their torch.autograd.Function wrappers (SURVEY.md §1 L2+L3), plus three
+kernels with no reference counterpart (the tangent-only forward and the
+second-order backward pair behind reverse-mode JVP training):
 
   flash_attention_fwd    <- helion_atten_bf16_fwd_training   (attention_bf16.py:107)
   flash_attention_bwd    <- helion_flash_atten_2_algo_4_bwd  (attention_bf16.py:299)
