@@ -251,6 +251,47 @@ def test_kv_sharded_attention(rng, causal):
     assert rep.mismatch_rate <= 2e-3, rep
 
 
+def test_jvp_pair_under_head_tp(rng):
+    """The (O, tO) pair kernel + its second-order backward compose with
+    head-TP shard_map (attention is per-head, so the tangent map and the
+    jvp backward shard trivially on the model axis)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu import attention_value_and_jvp
+    from quantizedattention_tpu.reference import reference_attention
+
+    mesh = make_attention_mesh(data=1, model=4, context=1)
+    q, k, v, _ = make_qkv(rng, batch=1, head=4, q_tokens=256)
+    tq, tk, tv = (jax.random.normal(kk_, q.shape)
+                  for kk_ in jax.random.split(jax.random.key(13), 3))
+    w = jax.random.normal(jax.random.key(14), q.shape)
+    spec = P(None, "model", None, None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec,) * 7, out_specs=(spec,) * 3,
+        check_vma=False,
+    )
+    def grads(q_, k_, v_, tq_, tk_, tv_, w_):
+        def loss(a, b, c):
+            o, to = attention_value_and_jvp(a, b, c, tq_, tk_, tv_)
+            return jnp.sum(to * w_) + jnp.sum(o)
+        return jax.grad(loss, argnums=(0, 1, 2))(q_, k_, v_)
+
+    got = grads(q, k, v, tq, tk, tv, w)
+
+    def loss_ref(a, b, c):
+        o, to = jax.jvp(reference_attention, (a, b, c), (tq, tk, tv))
+        return jnp.sum(to * w) + jnp.sum(o)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, wnt, n in zip(got, want, "qkv"):
+        rep = mismatch_report(f"tp jvp d{n}", g, wnt, atol=1e-2)
+        assert rep.mismatch_rate <= 3.5e-4, rep
+
+
 def test_pod_mesh_single_slice_equivalence(rng):
     """make_pod_mesh degrades to the single-slice mesh on one process, and
     the sharded attention built on it matches the oracle."""
