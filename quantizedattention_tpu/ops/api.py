@@ -261,26 +261,28 @@ def attention_jvp(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _attention_value_and_jvp(q, k, v, tq, tk, tv, causal, sm_scale, config, fast_bwd):
+def _attention_value_and_jvp(q, k, v, tq, tk, tv, causal, sm_scale, config, fast):
     o, to, _, _ = attention_jvp_fwd(
-        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config
+        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config,
+        fast=fast,
     )
     return o, to
 
 
-def _pair_fwd(q, k, v, tq, tk, tv, causal, sm_scale, config, fast_bwd):
+def _pair_fwd(q, k, v, tq, tk, tv, causal, sm_scale, config, fast):
     o, to, lse, mu = attention_jvp_fwd(
-        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config
+        q, k, v, tq, tk, tv, causal=causal, sm_scale=sm_scale, config=config,
+        fast=fast,
     )
     return (o, to), (q, k, v, tq, tk, tv, o, to, lse, mu)
 
 
-def _pair_bwd(causal, sm_scale, config, fast_bwd, res, cts):
+def _pair_bwd(causal, sm_scale, config, fast, res, cts):
     q, k, v, tq, tk, tv, o, to, lse, mu = res
     do, dto = cts
     return attention_jvp_bwd(
         q, k, v, tq, tk, tv, o, to, lse, mu, do, dto,
-        causal=causal, sm_scale=sm_scale, config=config, fast=fast_bwd,
+        causal=causal, sm_scale=sm_scale, config=config, fast=fast,
     )
 
 
@@ -297,7 +299,7 @@ def attention_value_and_jvp(
     causal: bool = False,
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
-    fast_bwd: bool = False,
+    fast: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(O, tO) in one fused streaming pass, differentiable in REVERSE mode
     w.r.t. all six inputs — the rCM-distillation training primitive.
@@ -307,6 +309,10 @@ def attention_value_and_jvp(
     reference has no counterpart (its JVP kernel is forward-only,
     attention_jvp.py:24); this closes the training loop its own docstring
     describes (attention_jvp.py:1-11).
+
+    fast=True runs every MXU dot (forward and second-order backward) at
+    bf16 rate with f32 accumulation; default is fp32-exact like the
+    reference kernel.
     """
     if config is None:
         config = default_block_config("jvp", q.shape[2], k.shape[2], q.shape[3])
@@ -314,5 +320,5 @@ def attention_value_and_jvp(
     return _attention_value_and_jvp(
         q.astype(f32), k.astype(f32), v.astype(f32),
         tq.astype(f32), tk.astype(f32), tv.astype(f32),
-        causal, sm_scale, config, fast_bwd,
+        causal, sm_scale, config, fast,
     )

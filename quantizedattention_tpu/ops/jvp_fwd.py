@@ -41,6 +41,7 @@ def _jvp_kernel(
     o_ref, to_ref, lse_ref, mu_ref,
     m_scr, l_scr, r_scr, o_scr, a_scr, b_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv,
+    precision,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -59,7 +60,8 @@ def _jvp_kernel(
 
     def _dot(a, b, dims):
         return jax.lax.dot_general(
-            a, b, (dims, ((), ())), preferred_element_type=jnp.float32, precision=_HIGHEST
+            a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
     def _body():
@@ -118,13 +120,14 @@ def _jvp_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "config", "interpret")
+    jax.jit, static_argnames=("causal", "sm_scale", "config", "fast", "interpret")
 )
 def attention_jvp_fwd(
     q, k, v, tq, tk, tv,
     causal: bool = False,
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
+    fast: bool = False,
     interpret: bool | None = None,
 ):
     """JVP attention. Returns (O, tO, lse, mu), all f32; inputs [b, h, t, d].
@@ -132,6 +135,9 @@ def attention_jvp_fwd(
     mu = rowsum(P ∘ tS) (P normalized, tS natural-log domain) — the tangent
     row term; together with lse it is the residual set the second-order
     backward (ops/jvp_bwd) reuses without recomputing the streaming pass.
+    fast=True runs the MXU dots at bf16 rate with f32 accumulation (DEFAULT
+    precision) instead of true f32 — the reference kernel is fp32-exact
+    (attention_jvp.py:24), so exact stays the default.
     """
     if interpret is None:
         interpret = use_interpret_mode()
@@ -165,6 +171,7 @@ def attention_jvp_fwd(
         num_kv_blocks=num_kv_blocks,
         block_q=block_q,
         block_kv=block_kv,
+        precision=jax.lax.Precision.DEFAULT if fast else _HIGHEST,
     )
 
     q_spec = pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0))

@@ -46,6 +46,7 @@ def _tangent_kernel(
     to_ref,
     acc_scr, r_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv,
+    precision,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -62,7 +63,7 @@ def _tangent_kernel(
     def _dot(a, b, dims):
         return jax.lax.dot_general(
             a, b, (dims, ((), ())), preferred_element_type=jnp.float32,
-            precision=_HIGHEST,
+            precision=precision,
         )
 
     def _body():
@@ -94,13 +95,14 @@ def _tangent_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "config", "interpret")
+    jax.jit, static_argnames=("causal", "sm_scale", "config", "fast", "interpret")
 )
 def attention_tangent_fwd(
     q, k, v, o, lse, tq, tk, tv,
     causal: bool = False,
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
+    fast: bool = False,
     interpret: bool | None = None,
 ):
     """tO for tangents (tq,tk,tv) at (q,k,v), given fwd residuals (o, lse).
@@ -136,6 +138,7 @@ def attention_tangent_fwd(
         _tangent_kernel,
         sm_scale=sm_scale, qk_scale=qk_scale, causal=causal, kv_len=kv_len,
         num_kv_blocks=num_kv_blocks, block_q=block_q, block_kv=block_kv,
+        precision=jax.lax.Precision.DEFAULT if fast else _HIGHEST,
     )
 
     q_spec = pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0))

@@ -134,6 +134,27 @@ def test_pure_tangent_loss_cross_terms(rng):
         _close(g, w, rtol=5e-4, atol=5e-4, name=f"d{n}")
 
 
+def test_pair_fast_mode(rng):
+    """fast=True (bf16-rate MXU, f32 accumulation) stays inside a loose
+    envelope of the exact pair — forward and second-order gradients."""
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=256)
+    tq, tk, tv = _tangents([q.shape, k.shape, v.shape], seed=9)
+    o_x, to_x = attention_value_and_jvp(q, k, v, tq, tk, tv)
+    o_f, to_f = attention_value_and_jvp(q, k, v, tq, tk, tv, fast=True)
+    _close(o_f, o_x, rtol=2e-2, atol=2e-2, name="O fast")
+    _close(to_f, to_x, rtol=5e-2, atol=5e-2, name="tO fast")
+
+    def loss(fast):
+        def f(q_):
+            o, to = attention_value_and_jvp(q_, k, v, tq, tk, tv, fast=fast)
+            return jnp.sum(to**2) + jnp.sum(o)
+        return f
+
+    g_x = jax.grad(loss(False))(q)
+    g_f = jax.grad(loss(True))(q)
+    _close(g_f, g_x, rtol=5e-2, atol=5e-2, name="dq fast")
+
+
 def test_cross_lengths_and_padding(rng):
     """Odd q/kv lengths exercise padded-row/column handling in jvp_bwd."""
     q, k, v, _ = make_qkv(rng, batch=1, head=1, q_tokens=77, kv_tokens=201)
