@@ -67,12 +67,8 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
         v = (h @ layer["wv"]).reshape(b_loc, t_loc, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
         q = rope(q, positions, cfg.rope_base)
         k = rope(k, positions, cfg.rope_base)
-        if kv_loc != h_loc:
-            # GQA: repeat local kv heads for training (the decode path reads
-            # the unrepeated cache natively — see parallel/kv_cache.py)
-            rep = h_loc // kv_loc
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
+        # GQA: the ring takes UNREPEATED kv heads — the rotation moves only
+        # the kv-group payload over ICI and each hop repeats locally
         o = ring_attention(q, k, v, "context", causal=True, config=config,
                            kind=attention)
         o = o.transpose(0, 2, 1, 3).reshape(b_loc, t_loc, h_loc * cfg.head_dim)

@@ -322,9 +322,14 @@ def prefill_chunk(
         q, k, v = _project_qkv(layer, h, cfg, positions)
         # row length grows chunk by chunk (never past the real prompt end),
         # so concurrent decode steps of OTHER slots only ever see written
-        # positions of this row
+        # positions of this row. The written slice is trimmed to the cache
+        # capacity: the last chunk is padded to full width, and an untrimmed
+        # dynamic_update_slice would CLAMP the start index and overwrite
+        # earlier positions when max_len - chunk_start < c (the overhang is
+        # padding only — real tokens end at true_end <= max_len).
+        c_write = min(c, cache.max_len - chunk_start)
         cache = write_kv_chunk(
-            cache, slot, k[0], v[0], chunk_start,
+            cache, slot, k[0, :, :c_write], v[0, :, :c_write], chunk_start,
             jnp.minimum(chunk_start + c, true_end),
         )
         k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k

@@ -116,12 +116,15 @@ def _int8_fwd_kernel(
 
             # masked logits underflow to 0 through exp2; junk rows self-heal
             # via alpha underflow (see flash_fwd), one where-pass suffices.
-            # RAW_MASK: |raw qk| <= 127*127*d < 2^21, and the scaled sentinel
-            # -2^30 * c underflows exp2 for any c >= 2^-96 (scales are
-            # >= 1e-12/127 by the quantizer's floor, and qk_scale ~ d^-1/2).
+            # The raw-domain sentinel must be SCALE-AWARE: a fixed raw value
+            # scaled by a tiny c (small-magnitude Q/K blocks, e.g. early
+            # training) would not underflow and masked positions would leak
+            # probability. -MASK/c makes the scaled logit exactly -MASK for
+            # every c > 0 (c >= ~1e-14 by the quantizer's 1e-12/127 scale
+            # floor, so -MASK/c stays finite in f32).
             if causal or kv_padded:
                 mask = tile_mask(q_start, sub_start, block_q, block_sub, kv_len, causal)
-                qk = jnp.where(mask, qk, -(2.0 ** 30))
+                qk = jnp.where(mask, qk, 30000.0 / -c)
 
             m_prev = m_scr[...][:, :1]
             # scaled row max via a cheap [bq,1] column op; EPS_BIAS keeps the
@@ -184,14 +187,15 @@ def quantize_qkv(q, k, v, config: BlockConfig, k_sub=None, interpret: bool | Non
     batch, head, q_tokens, head_dim = q.shape
     kv_len = k.shape[2]
     bh = batch * head
+    bh_kv = batch * k.shape[1]  # may be < bh under GQA (unrepeated kv heads)
     # K/V quantize at the compute-subtile grain (<= block_kv), q at block_q:
     # the forward DMAs at block_kv but applies one scale per subtile, and the
     # backward tiles at exactly the quantization grain (see int8_bwd).
     q3 = pad_tokens(q.reshape(bh, q_tokens, head_dim), config.block_q, 1)
-    k3 = pad_tokens(k.reshape(bh, kv_len, head_dim), config.block_kv, 1)
-    v3 = pad_tokens(v.reshape(bh, kv_len, head_dim), config.block_kv, 1)
+    k3 = pad_tokens(k.reshape(bh_kv, kv_len, head_dim), config.block_kv, 1)
+    v3 = pad_tokens(v.reshape(bh_kv, kv_len, head_dim), config.block_kv, 1)
     kv_grain = min(config.kv_compute, k3.shape[1])
-    sub3 = None if k_sub is None else k_sub.reshape(bh, 1, head_dim)
+    sub3 = None if k_sub is None else k_sub.reshape(bh_kv, 1, head_dim)
     if q3.shape == k3.shape and config.block_q == kv_grain:
         # square fast path: one dispatch for all three tensors
         if sub3 is None:

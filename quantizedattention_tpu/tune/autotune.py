@@ -171,7 +171,8 @@ def autotune(
     if block_candidates is None:
         block_candidates = _pow2_upto(128, min(1024, _padded(q_tokens)))
     if kv_candidates is None:
-        kv_candidates = _pow2_upto(256, min(8192, _padded(kv_tokens)))
+        hi = min(8192, _padded(kv_tokens))
+        kv_candidates = _pow2_upto(min(256, hi), hi)
 
     best_cfg, best_t = None, float("inf")
     for bq, bkv in itertools.product(block_candidates, kv_candidates):
@@ -220,6 +221,15 @@ def autotune_bwd(
     blocks merge into the cached entry for (kind, shape), preserving any
     tuned forward blocks.
     """
+    if kind == "int8":
+        # the int8 backward's tiling is pinned to the forward's quantization
+        # grain (the residual contract — ops/int8_bwd.py); sweeping bwd
+        # blocks would time identical kernels and persist a noise 'winner'.
+        # Tune the forward grain (block_kv_compute) instead.
+        raise ValueError(
+            "int8 backward tiling is fixed by the quantization grain; "
+            "sweep the forward's block_kv_compute via autotune() instead"
+        )
     head_dim = jax.tree_util.tree_leaves(args)[0].shape[-1]
     if candidates is None:
         candidates = _pow2_upto(128, min(1024, _padded(min(q_tokens, kv_tokens))))

@@ -64,15 +64,17 @@ def hosts_alive(timeout_s: float = 60.0) -> int:
         return 1
 
     def _probe():
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # the array must be GLOBALLY SHARDED over the multi-process mesh so
+        # the sum lowers to a cross-host all-reduce — a host-local replicated
+        # array would reduce locally and never block on a dead host
         mesh = jax.make_mesh((jax.device_count(),), ("d",))
-        ones = jnp.ones((jax.device_count(),))
-
-        @jax.jit
-        def total(x):
-            return jnp.sum(x)
-
-        with jax.sharding.use_mesh(mesh):
-            return int(total(ones))
+        ones = jax.device_put(
+            jnp.ones((jax.device_count(),)), NamedSharding(mesh, P("d"))
+        )
+        total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(ones)
+        return int(total)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(_probe)

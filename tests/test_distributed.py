@@ -135,6 +135,42 @@ def test_int8_ring_attention_differentiable(rng, causal):
         assert not bool(jnp.any(jnp.isnan(g)))
 
 
+@pytest.mark.parametrize("kind,atol", [("bf16", 1e-2), ("int8", 5e-2)])
+def test_gqa_ring_attention_differentiable(rng, kind, atol):
+    """GQA rings rotate UNREPEATED kv heads (code-review finding: repeating
+    before the ring inflated ICI payload rep-x); forward and gradients must
+    match the oracle on repeated heads, with dk/dv group-summed."""
+    from quantizedattention_tpu.reference import reference_attention
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    q, _, _, do = make_qkv(rng, batch=1, head=4, q_tokens=512)
+    kk, kv_ = jax.random.split(jax.random.key(21))
+    k = jax.random.normal(kk, (1, 2, 512, 64))   # 2 kv heads, rep=2
+    v = jax.random.normal(kv_, (1, 2, 512, 64))
+    fn = make_ring_attention(mesh, kind=kind, causal=True)
+
+    o = fn(q, k, v)
+    k_rep, v_rep = jnp.repeat(k, 2, axis=1), jnp.repeat(v, 2, axis=1)
+    want = reference_attention(q, k_rep, v_rep, causal=True)
+    rep_o = mismatch_report(f"gqa ring {kind} fwd", o, want, atol=atol)
+    assert rep_o.mismatch_rate <= 2e-3, rep_o
+
+    dq, dk, dv = jax.grad(
+        lambda *a: jnp.sum(fn(*a) * do), argnums=(0, 1, 2)
+    )(q, k, v)
+    assert dk.shape == k.shape and dv.shape == v.shape
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(reference_attention(
+            q_, jnp.repeat(k_, 2, axis=1), jnp.repeat(v_, 2, axis=1),
+            causal=True) * do)
+
+    dq_w, dk_w, dv_w = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rep_g = mismatch_report(f"gqa ring {kind} {nm}", g, w, atol=5 * atol)
+        assert rep_g.mismatch_rate <= 2e-3, rep_g
+
+
 def test_int8_ring_matches_single_device_int8_grads(rng):
     """int8 ring grads == the single-device int8 custom_vjp grads — isolates
     ring communication errors from quantization error. Not bit-exact: the

@@ -12,6 +12,24 @@ import jax.numpy as jnp
 import pytest
 
 from quantizedattention_tpu import int8_attention_fwd, sage_attention_int8
+
+
+def test_causal_mask_holds_for_tiny_magnitude_inputs(rng):
+    """Code-review regression: the raw-domain mask sentinel must underflow
+    for ANY quantization scale. With q,k ~ N(0, 0.01^2) the dequant scale c
+    is ~1e-9; a fixed raw sentinel would leave masked (future) positions
+    with ~0.4 relative weight and the causal output would silently attend
+    to the future."""
+    from quantizedattention_tpu.reference import reference_attention
+    from quantizedattention_tpu.utils.testing import mismatch_report
+    from tests.conftest import make_qkv
+
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=256)
+    q, k = q * 0.01, k * 0.01
+    o, _, _ = int8_attention_fwd(q, k, v, causal=True)
+    want = reference_attention(q, k, v, causal=True)
+    rep = mismatch_report("tiny-scale causal int8", o, want, atol=5e-2)
+    assert rep.mismatch_rate <= 2e-3, rep
 from quantizedattention_tpu.reference import reference_attention, reference_attention_vjp
 from quantizedattention_tpu.utils.testing import mismatch_report
 from tests.conftest import make_qkv

@@ -290,6 +290,26 @@ def test_engine_chunked_prefill_matches_unchunked():
     assert res_plain[r2].tokens == res_chunked[c2].tokens
 
 
+def test_engine_chunked_prefill_nonaligned_capacity():
+    """Code-review regression: last chunk overhangs a max_seq that is not a
+    multiple of the chunk (384 vs 256) — the write must trim to capacity
+    instead of letting dynamic_update_slice clamp the start and corrupt
+    earlier positions."""
+    cfg = small_cfg(max_seq=384)
+    params = init_transformer(jax.random.key(0), cfg)
+    prompt = [int(x % 63) + 1 for x in range(300)]
+
+    plain = ServingEngine(params, cfg, n_slots=1, scheduler="python")
+    r0 = plain.submit(prompt, 6)
+    want = plain.run()[r0].tokens
+
+    chunked = ServingEngine(params, cfg, n_slots=1, scheduler="python",
+                            prefill_chunk=256)
+    r1 = chunked.submit(prompt, 6)
+    got = chunked.run()[r1].tokens
+    assert got == want
+
+
 def test_engine_chunked_prefill_interleaves_decodes():
     """A long prompt must NOT stall running decodes: with chunked prefill,
     the already-running request keeps emitting tokens between chunks (the
