@@ -21,6 +21,7 @@ from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_atten
 from quantizedattention_tpu.parallel.ulysses import ulysses_attention, make_ulysses_attention
 from quantizedattention_tpu.parallel.collective import (
     allgather_kv_attention,
+    allgather_kv_attention_int8,
     kv_sharded_attention,
     make_allgather_attention,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "ulysses_attention",
     "make_ulysses_attention",
     "allgather_kv_attention",
+    "allgather_kv_attention_int8",
     "kv_sharded_attention",
     "make_allgather_attention",
     "QuantizedKVCache",

@@ -31,6 +31,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
+from quantizedattention_tpu.ops.int8_fwd import (
+    int8_attention_fwd_from_quantized,
+    quantize_qkv,
+)
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 
 
@@ -105,6 +110,74 @@ allgather_kv_attention.defvjp(_ag_fwd, _ag_bwd)
 
 
 # ---------------------------------------------------------------------------
+# int8 all-gather: gather QUANTIZED payload + scales — 1/4 the ICI bytes
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def allgather_kv_attention_int8(q, k, v, axis_name, sm_scale=None,
+                                config: BlockConfig | None = None):
+    """Sequence-parallel int8 attention: each chip quantizes its KV shard
+    (K smoothed with the global token mean), the int8 payload + per-block
+    scales all-gather (~1/4 the bytes of a bf16 gather), one int8 kernel
+    per chip. Differentiable: the backward recomputes from the gathered
+    residuals and reduce-scatters dK/dV home.
+
+    Non-causal (the diffusion/bidirectional SP case); causal int8 context
+    parallelism lives in the ring (parallel/ring.py), whose per-step
+    causal/past split avoids cross-shard offset masking. t_local must be a
+    multiple of 128 so the gathered quantization grid has no interior
+    padding.
+    """
+    o, _ = _ag_i8_fwd_impl(q, k, v, axis_name, sm_scale, config)
+    return o
+
+
+def _ag_i8_fwd_impl(q, k, v, axis_name, sm_scale, config):
+    n = jax.lax.axis_size(axis_name)
+    batch, head, t_local, head_dim = q.shape
+    if t_local % 128 != 0:
+        raise ValueError("int8 all-gather requires t_local % 128 == 0")
+    if config is None:
+        config = default_block_config("int8", t_local, t_local, head_dim)
+    k_mean = jax.lax.pmean(jnp.mean(k, axis=-2, keepdims=True), axis_name)
+    (q_i8, sq), (k_i8, sk), (v_i8, sv) = quantize_qkv(q, k, v, config, k_sub=k_mean)
+    # gather along the (padded == t_local) token axis; scale tables gather
+    # along their block axis — every shard shares the same grain, so the
+    # concatenation IS the global quantization grid
+    k_i8f = jax.lax.all_gather(k_i8, axis_name, axis=1, tiled=True)
+    sk_f = jax.lax.all_gather(sk, axis_name, axis=1, tiled=True)
+    v_i8f = jax.lax.all_gather(v_i8, axis_name, axis=1, tiled=True)
+    sv_f = jax.lax.all_gather(sv, axis_name, axis=1, tiled=True)
+    dims = (batch, head, t_local, n * t_local, head_dim)
+    residuals = ((q_i8, sq), (k_i8f, sk_f), (v_i8f, sv_f))
+    o, lse = int8_attention_fwd_from_quantized(
+        residuals, dims, causal=False, sm_scale=sm_scale, config=config,
+    )
+    return o, (residuals, k_mean, o, lse, dims,
+               tuple(jnp.zeros((0,), x.dtype) for x in (q, k, v)))
+
+
+def _ag_i8_fwd(q, k, v, axis_name, sm_scale, config):
+    o, res = _ag_i8_fwd_impl(q, k, v, axis_name, sm_scale, config)
+    return o, res
+
+
+def _ag_i8_bwd(axis_name, sm_scale, config, res, do):
+    residuals, k_mean, o, lse, dims, marks = res
+    dq, dk_full, dv_full = int8_attention_bwd(
+        residuals, k_mean, o, lse, do, dims,
+        causal=False, sm_scale=sm_scale, config=config,
+    )
+    dk = jax.lax.psum_scatter(dk_full, axis_name, scatter_dimension=2, tiled=True)
+    dv = jax.lax.psum_scatter(dv_full, axis_name, scatter_dimension=2, tiled=True)
+    qm, km, vm = marks
+    return dq.astype(qm.dtype), dk.astype(km.dtype), dv.astype(vm.dtype)
+
+
+allgather_kv_attention_int8.defvjp(_ag_i8_fwd, _ag_i8_bwd)
+
+
+# ---------------------------------------------------------------------------
 # KV-sharded partials, lse-weighted merge (forward / serving)
 # ---------------------------------------------------------------------------
 
@@ -133,6 +206,7 @@ def make_allgather_attention(
     data_axis: str = "data",
     model_axis: str = "model",
     context_axis: str = "context",
+    kind: str = "bf16",
 ):
     """Jitted all-gather-KV attention on global [b, h, t, d] arrays: batch on
     data, heads on model, sequence on context (same layout as
@@ -147,6 +221,12 @@ def make_allgather_attention(
         check_vma=False,
     )
     def sharded(q, k, v):
+        if kind == "int8":
+            if causal:
+                raise ValueError("causal int8 SP: use make_ring_attention(kind='int8')")
+            return allgather_kv_attention_int8(
+                q, k, v, context_axis, sm_scale=sm_scale, config=config
+            )
         return allgather_kv_attention(
             q, k, v, context_axis, causal=causal, sm_scale=sm_scale, config=config
         )
