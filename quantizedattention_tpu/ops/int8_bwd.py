@@ -60,6 +60,7 @@ def _recompute_p_int8(q_i8, k_i8, sq, sk, lse, mask, qk_scale):
 
 
 def _int8_dkv_kernel(
+    qoff_ref, koff_ref,
     q_ref, k_ref, v_ref, do_ref, sq_ref, sk_ref, sv_ref,
     lse_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_q_blocks, block_q, block_kv,
@@ -73,8 +74,9 @@ def _int8_dkv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q_start = qi * block_q
-    k_start = kj * block_kv
+    k_local = kj * block_kv
+    q_start = qoff_ref[0] + qi * block_q
+    k_start = koff_ref[0] + k_local
 
     def _body():
         sq = sq_ref[b, qi]
@@ -84,7 +86,8 @@ def _int8_dkv_kernel(
         di = di_ref[0][:, :1]
         do = do_ref[0]
 
-        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal,
+                         k_local_start=k_local)
         p = _recompute_p_int8(q_ref[0], k_ref[0], sq, sk, lse, mask, qk_scale)
 
         # dV += Pᵀ dO: P is near-uniform on typical data, so the contraction
@@ -110,6 +113,7 @@ def _int8_dkv_kernel(
 
 
 def _int8_dq_kernel(
+    qoff_ref, koff_ref,
     q_ref, k_ref, v_ref, do_ref, sq_ref, sk_ref, sv_ref,
     lse_ref, di_ref, k_mean_ref, dq_ref, dq_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv,
@@ -122,8 +126,9 @@ def _int8_dq_kernel(
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q_start = qi * block_q
-    k_start = kj * block_kv
+    k_local = kj * block_kv
+    q_start = qoff_ref[0] + qi * block_q
+    k_start = koff_ref[0] + k_local
 
     def _body():
         sq = sq_ref[b, qi]
@@ -132,7 +137,8 @@ def _int8_dq_kernel(
         lse = lse_ref[0][:, :1]
         di = di_ref[0][:, :1]
 
-        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal)
+        mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal,
+                         k_local_start=k_local)
         p = _recompute_p_int8(q_ref[0], k_ref[0], sq, sk, lse, mask, qk_scale)
         dp = _bf_dot(do_ref[0], v_ref[0], ((1,), (1,))) * sv
         ds = p * (dp - di) * sm_scale
@@ -168,6 +174,8 @@ def int8_attention_bwd(
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
     interpret: bool | None = None,
+    q_offset: jnp.ndarray | int = 0,
+    k_offset: jnp.ndarray | int = 0,
 ):
     """INT8 backward from the forward's quantized residuals.
 
@@ -219,6 +227,8 @@ def int8_attention_bwd(
     )
 
     sq_f32, sk_f32, sv_f32 = sq.astype(f32), sk.astype(f32), sv.astype(f32)
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    koff = jnp.asarray(k_offset, jnp.int32).reshape(1)
 
     # --- dKV pass: grid (bh, kv, q) ---
     q_spec = pl.BlockSpec((1, block_q, head_dim), lambda b, j, i: (b, i, 0))
@@ -229,7 +239,8 @@ def int8_attention_bwd(
     dk, dv = pl.pallas_call(
         functools.partial(_int8_dkv_kernel, num_q_blocks=num_q_blocks, **common),
         grid=(bh, num_kv_blocks, num_q_blocks),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, smem_spec, smem_spec, smem_spec, lane_spec, lane_spec],
+        in_specs=[smem_spec, smem_spec, q_spec, kv_spec, kv_spec, q_spec,
+                  smem_spec, smem_spec, smem_spec, lane_spec, lane_spec],
         out_specs=[kv_spec, kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, padded_kv, head_dim), f32),
@@ -243,7 +254,7 @@ def int8_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_i8, k_i8, v_i8, do3, sq_f32, sk_f32, sv_f32, lse_b, di_b)
+    )(qoff, koff, q_i8, k_i8, v_i8, do3, sq_f32, sk_f32, sv_f32, lse_b, di_b)
 
     # --- dQ pass: grid (bh, q, kv) ---
     q_spec_q = pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0))
@@ -254,7 +265,9 @@ def int8_attention_bwd(
     (dq,) = pl.pallas_call(
         functools.partial(_int8_dq_kernel, num_kv_blocks=num_kv_blocks, **common),
         grid=(bh, num_q_blocks, num_kv_blocks),
-        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, smem_spec, smem_spec, smem_spec, lane_spec_q, lane_spec_q, km_spec],
+        in_specs=[smem_spec, smem_spec, q_spec_q, kv_spec_q, kv_spec_q,
+                  q_spec_q, smem_spec, smem_spec, smem_spec, lane_spec_q,
+                  lane_spec_q, km_spec],
         out_specs=[q_spec_q],
         out_shape=[jax.ShapeDtypeStruct((bh, padded_q, head_dim), f32)],
         scratch_shapes=[pltpu.VMEM((block_q, head_dim), f32)],
@@ -262,7 +275,7 @@ def int8_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_i8, k_i8, v_i8, do3, sq_f32, sk_f32, sv_f32, lse_b, di_b, k_mean3)
+    )(qoff, koff, q_i8, k_i8, v_i8, do3, sq_f32, sk_f32, sv_f32, lse_b, di_b, k_mean3)
 
     dq = dq[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
     dk = dk[:, :kv_len].reshape(batch, head, kv_len, head_dim)

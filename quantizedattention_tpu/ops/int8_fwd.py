@@ -64,6 +64,7 @@ _LANES = 128
 
 
 def _int8_fwd_kernel(
+    qoff_ref, koff_ref,
     q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
@@ -79,8 +80,10 @@ def _int8_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    q_start = qi * block_q
-    k_start = kj * block_kv
+    # global token positions (sequence-shard offsets — causal stays correct
+    # under ring / all-gather context parallelism, like flash_fwd)
+    q_start = qoff_ref[0] + qi * block_q
+    k_start = koff_ref[0] + kj * block_kv
 
     kv_padded = kv_len % block_kv != 0
 
@@ -91,6 +94,7 @@ def _int8_fwd_kernel(
 
     def _subtile(j):
         sub_start = k_start + j * block_sub
+        sub_local = kj * block_kv + j * block_sub  # shard-local, for padding
 
         def _sub_body():
             sq = sq_ref[b, qi]
@@ -123,7 +127,8 @@ def _int8_fwd_kernel(
             # every c > 0 (c >= ~1e-14 by the quantizer's 1e-12/127 scale
             # floor, so -MASK/c stays finite in f32).
             if causal or kv_padded:
-                mask = tile_mask(q_start, sub_start, block_q, block_sub, kv_len, causal)
+                mask = tile_mask(q_start, sub_start, block_q, block_sub,
+                                 kv_len, causal, k_local_start=sub_local)
                 qk = jnp.where(mask, qk, 30000.0 / -c)
 
             m_prev = m_scr[...][:, :1]
@@ -258,8 +263,13 @@ def int8_attention_fwd_from_quantized(
     sm_scale: float | None = None,
     config: BlockConfig | None = None,
     interpret: bool | None = None,
+    q_offset: jnp.ndarray | int = 0,
+    k_offset: jnp.ndarray | int = 0,
 ):
-    """Run the int8 forward from pre-quantized blocks (KV-cache reuse path)."""
+    """Run the int8 forward from pre-quantized blocks (KV-cache reuse path).
+
+    q_offset/k_offset: global token positions of the local q / kv shards
+    (causal masking across sequence shards, as in flash_fwd)."""
     if interpret is None:
         interpret = use_interpret_mode()
     (q_i8, sq), (k_i8, sk), (v_i8, sv) = residuals
@@ -288,11 +298,15 @@ def int8_attention_fwd_from_quantized(
     sq_f32 = sq.astype(jnp.float32)
     sk_f32 = sk.astype(jnp.float32)
     sv_f32 = sv.astype(jnp.float32)
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    koff = jnp.asarray(k_offset, jnp.int32).reshape(1)
 
     o, lse = pl.pallas_call(
         kernel,
         grid=(bh, num_q_blocks, num_kv_blocks),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
@@ -317,7 +331,7 @@ def int8_attention_fwd_from_quantized(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_i8, k_i8, v_i8, sq_f32, sk_f32, sv_f32)
+    )(qoff, koff, q_i8, k_i8, v_i8, sq_f32, sk_f32, sv_f32)
 
     o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
     lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)

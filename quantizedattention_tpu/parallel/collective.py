@@ -113,27 +113,24 @@ allgather_kv_attention.defvjp(_ag_fwd, _ag_bwd)
 # int8 all-gather: gather QUANTIZED payload + scales — 1/4 the ICI bytes
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def allgather_kv_attention_int8(q, k, v, axis_name, sm_scale=None,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def allgather_kv_attention_int8(q, k, v, axis_name, causal=False, sm_scale=None,
                                 config: BlockConfig | None = None):
     """Sequence-parallel int8 attention: each chip quantizes its KV shard
     (K smoothed with the global token mean), the int8 payload + per-block
     scales all-gather (~1/4 the bytes of a bf16 gather), one int8 kernel
     per chip. Differentiable: the backward recomputes from the gathered
-    residuals and reduce-scatters dK/dV home.
-
-    Non-causal (the diffusion/bidirectional SP case); causal int8 context
-    parallelism lives in the ring (parallel/ring.py), whose per-step
-    causal/past split avoids cross-shard offset masking. t_local must be a
-    multiple of 128 so the gathered quantization grid has no interior
-    padding.
+    residuals and reduce-scatters dK/dV home. Causal masking uses the int8
+    kernels' global q/k offsets. t_local must be a multiple of 128 so the
+    gathered quantization grid has no interior padding.
     """
-    o, _ = _ag_i8_fwd_impl(q, k, v, axis_name, sm_scale, config)
+    o, _ = _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
     return o
 
 
-def _ag_i8_fwd_impl(q, k, v, axis_name, sm_scale, config):
+def _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
     batch, head, t_local, head_dim = q.shape
     if t_local % 128 != 0:
         raise ValueError("int8 all-gather requires t_local % 128 == 0")
@@ -150,23 +147,26 @@ def _ag_i8_fwd_impl(q, k, v, axis_name, sm_scale, config):
     sv_f = jax.lax.all_gather(sv, axis_name, axis=1, tiled=True)
     dims = (batch, head, t_local, n * t_local, head_dim)
     residuals = ((q_i8, sq), (k_i8f, sk_f), (v_i8f, sv_f))
+    q_off = idx * t_local
     o, lse = int8_attention_fwd_from_quantized(
-        residuals, dims, causal=False, sm_scale=sm_scale, config=config,
+        residuals, dims, causal=causal, sm_scale=sm_scale, config=config,
+        q_offset=q_off, k_offset=0,
     )
-    return o, (residuals, k_mean, o, lse, dims,
+    return o, (residuals, k_mean, o, lse, dims, q_off,
                tuple(jnp.zeros((0,), x.dtype) for x in (q, k, v)))
 
 
-def _ag_i8_fwd(q, k, v, axis_name, sm_scale, config):
-    o, res = _ag_i8_fwd_impl(q, k, v, axis_name, sm_scale, config)
+def _ag_i8_fwd(q, k, v, axis_name, causal, sm_scale, config):
+    o, res = _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
     return o, res
 
 
-def _ag_i8_bwd(axis_name, sm_scale, config, res, do):
-    residuals, k_mean, o, lse, dims, marks = res
+def _ag_i8_bwd(axis_name, causal, sm_scale, config, res, do):
+    residuals, k_mean, o, lse, dims, q_off, marks = res
     dq, dk_full, dv_full = int8_attention_bwd(
         residuals, k_mean, o, lse, do, dims,
-        causal=False, sm_scale=sm_scale, config=config,
+        causal=causal, sm_scale=sm_scale, config=config,
+        q_offset=q_off, k_offset=0,
     )
     dk = jax.lax.psum_scatter(dk_full, axis_name, scatter_dimension=2, tiled=True)
     dv = jax.lax.psum_scatter(dv_full, axis_name, scatter_dimension=2, tiled=True)
@@ -222,10 +222,9 @@ def make_allgather_attention(
     )
     def sharded(q, k, v):
         if kind == "int8":
-            if causal:
-                raise ValueError("causal int8 SP: use make_ring_attention(kind='int8')")
             return allgather_kv_attention_int8(
-                q, k, v, context_axis, sm_scale=sm_scale, config=config
+                q, k, v, context_axis, causal=causal, sm_scale=sm_scale,
+                config=config,
             )
         return allgather_kv_attention(
             q, k, v, context_axis, causal=causal, sm_scale=sm_scale, config=config

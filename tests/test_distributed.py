@@ -259,32 +259,31 @@ def test_allgather_kv_attention_differentiable(rng, causal):
         assert rep.mismatch_rate <= 3.5e-4, rep
 
 
-def test_allgather_int8_attention_and_grads(rng):
+@pytest.mark.parametrize("causal", [False, True])
+def test_allgather_int8_attention_and_grads(rng, causal):
     """int8 all-gather SP: quantized payload + scales gather (~1/4 the ICI
     bytes) and the backward reduce-scatters dK/dV; fwd and grads vs oracle
-    within the int8 envelope."""
+    within the int8 envelope. Causal rides the int8 kernels' global q/k
+    offsets."""
     from quantizedattention_tpu.parallel import make_allgather_attention
     from quantizedattention_tpu.reference import reference_attention_vjp
 
     mesh = make_attention_mesh(data=1, model=2, context=4)
     q, k, v, do = make_qkv(rng, batch=1, head=2, q_tokens=512)
-    fn = make_allgather_attention(mesh, causal=False, kind="int8")
+    fn = make_allgather_attention(mesh, causal=causal, kind="int8")
 
     o = fn(q, k, v)
-    want = reference_attention(q, k, v, causal=False)
-    rep = mismatch_report("ag int8 fwd", o, want, atol=5e-2)
+    want = reference_attention(q, k, v, causal=causal)
+    rep = mismatch_report(f"ag int8 fwd causal={causal}", o, want, atol=5e-2)
     assert rep.mismatch_rate <= 2e-3, rep
 
     dq, dk, dv = jax.grad(
         lambda *a: jnp.sum(fn(*a) * do), argnums=(0, 1, 2)
     )(q, k, v)
-    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=False)
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=causal)
     for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
         rep_g = mismatch_report(f"ag int8 {nm}", g, w, atol=5e-2)
         assert rep_g.mismatch_rate <= 2e-3, rep_g
-
-    with pytest.raises(ValueError, match="causal int8"):
-        make_allgather_attention(mesh, causal=True, kind="int8")(q, k, v)
 
 
 @pytest.mark.parametrize("causal", [False, True])
