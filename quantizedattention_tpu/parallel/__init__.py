@@ -22,6 +22,7 @@ from quantizedattention_tpu.parallel.ulysses import ulysses_attention, make_ulys
 from quantizedattention_tpu.parallel.collective import (
     allgather_kv_attention,
     allgather_kv_attention_int8,
+    kv_sharded_attention_int8,
     kv_sharded_attention,
     make_allgather_attention,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "make_ulysses_attention",
     "allgather_kv_attention",
     "allgather_kv_attention_int8",
+    "kv_sharded_attention_int8",
     "kv_sharded_attention",
     "make_allgather_attention",
     "QuantizedKVCache",

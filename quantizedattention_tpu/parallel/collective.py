@@ -198,6 +198,30 @@ def kv_sharded_attention(q, k, v, axis_name, causal=False, sm_scale=None,
     return lse_weighted_merge(o, lse, axis_name)
 
 
+def kv_sharded_attention_int8(q, k, v, axis_name, causal=False, sm_scale=None,
+                              config: BlockConfig | None = None):
+    """int8 variant of kv_sharded_attention: replicated Q, sequence-sharded
+    K/V quantized per shard (K smoothed with the global token mean); each
+    chip runs the int8 kernel over its slice with a global k_offset, and
+    the normalized partials merge with the lse rescale identity. Forward /
+    serving path (the training-side int8 SP is the ring or int8 all-gather).
+    """
+    idx = jax.lax.axis_index(axis_name)
+    t_local = k.shape[2]
+    batch, head = q.shape[0], q.shape[1]
+    head_dim = q.shape[3]
+    if config is None:
+        config = default_block_config("int8", q.shape[2], t_local, head_dim)
+    k_mean = jax.lax.pmean(jnp.mean(k, axis=-2, keepdims=True), axis_name)
+    residuals = quantize_qkv(q, k, v, config, k_sub=k_mean)
+    dims = (batch, head, q.shape[2], t_local, head_dim)
+    o, lse = int8_attention_fwd_from_quantized(
+        residuals, dims, causal=causal, sm_scale=sm_scale, config=config,
+        q_offset=0, k_offset=idx * t_local,
+    )
+    return lse_weighted_merge(o, lse, axis_name)
+
+
 def make_allgather_attention(
     mesh: Mesh,
     causal: bool = False,

@@ -287,6 +287,35 @@ def test_allgather_int8_attention_and_grads(rng, causal):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+def test_kv_sharded_attention_int8(rng, causal):
+    """Replicated-Q / int8-sharded-KV partial merge == unsharded oracle
+    (per-shard quantization + global k_offset causal masking)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel import kv_sharded_attention_int8
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=256)
+    kv_spec = P(None, None, "context", None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), kv_spec, kv_spec), out_specs=P(),
+        check_vma=False,
+    )
+    def fn(q_, k_, v_):
+        return kv_sharded_attention_int8(q_, k_, v_, "context", causal=causal)
+
+    o = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    rep = mismatch_report(f"kv-sharded int8 causal={causal}", o, want, atol=5e-2)
+    assert rep.mismatch_rate <= 2e-3, rep
+
+
+@pytest.mark.parametrize("causal", [False, True])
 def test_kv_sharded_attention(rng, causal):
     """Replicated-Q / sharded-KV partial merge == unsharded oracle."""
     import functools
