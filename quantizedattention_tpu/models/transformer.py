@@ -310,6 +310,10 @@ def prefill_chunk(
     """
     from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
     from quantizedattention_tpu.parallel.kv_cache import write_kv_chunk
+    from quantizedattention_tpu.parallel.paged_cache import (
+        read_prefix_paged,
+        write_chunk_paged,
+    )
     from quantizedattention_tpu.parallel.ring import _merge_partials
 
     c = tokens.shape[0]
@@ -318,34 +322,48 @@ def prefill_chunk(
     positions = chunk_start + jnp.arange(c)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
+        paged = isinstance(cache, PagedKVCache)
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
         # row length grows chunk by chunk (never past the real prompt end),
         # so concurrent decode steps of OTHER slots only ever see written
-        # positions of this row. The written slice is trimmed to the cache
-        # capacity: the last chunk is padded to full width, and an untrimmed
-        # dynamic_update_slice would CLAMP the start index and overwrite
-        # earlier positions when max_len - chunk_start < c (the overhang is
-        # padding only — real tokens end at true_end <= max_len).
-        c_write = min(c, cache.max_len - chunk_start)
-        cache = write_kv_chunk(
-            cache, slot, k[0, :, :c_write], v[0, :, :c_write], chunk_start,
-            jnp.minimum(chunk_start + c, true_end),
-        )
+        # positions of this row. The written slice is trimmed to capacity:
+        # the last chunk is padded to full width, and an untrimmed scatter
+        # would CLAMP the start and overwrite earlier positions (slotted) or
+        # earlier pages (paged) — the overhang is padding only.
+        new_len = jnp.minimum(chunk_start + c, true_end)
+        if paged:
+            ps = cache.page_size
+            cap = cache.page_table.shape[1] * ps
+            c_write = min(c, cap - chunk_start)
+            cache = write_chunk_paged(
+                cache, slot, k[0, :, :c_write], v[0, :, :c_write],
+                chunk_start // ps, new_len,
+            )
+        else:
+            c_write = min(c, cache.max_len - chunk_start)
+            cache = write_kv_chunk(
+                cache, slot, k[0, :, :c_write], v[0, :, :c_write], chunk_start,
+                new_len,
+            )
         k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k
         v_r = jnp.repeat(v, rep, axis=1) if rep > 1 else v
         o, lse = flash_attention_fwd(q, k_r, v_r, causal=True)
         if chunk_start > 0:
-            # prefix part: dequantized int8 rows of [0, chunk_start) — the
-            # same quantized values every later decode step reads
-            k_pre = (
-                cache.k_i8[slot, :, :chunk_start].astype(jnp.float32)
-                * cache.sk[slot, :, :chunk_start, None]
-            )[None]
-            v_pre = (
-                cache.v_i8[slot, :, :chunk_start].astype(jnp.float32)
-                * cache.sv[slot, :, :chunk_start, None]
-            )[None]
+            # prefix part: dequantized int8 rows/pages of [0, chunk_start) —
+            # the same quantized values every later decode step reads
+            if paged:
+                k_pre, v_pre = read_prefix_paged(cache, slot, chunk_start)
+                k_pre, v_pre = k_pre[None], v_pre[None]
+            else:
+                k_pre = (
+                    cache.k_i8[slot, :, :chunk_start].astype(jnp.float32)
+                    * cache.sk[slot, :, :chunk_start, None]
+                )[None]
+                v_pre = (
+                    cache.v_i8[slot, :, :chunk_start].astype(jnp.float32)
+                    * cache.sv[slot, :, :chunk_start, None]
+                )[None]
             if rep > 1:
                 k_pre = jnp.repeat(k_pre, rep, axis=1)
                 v_pre = jnp.repeat(v_pre, rep, axis=1)

@@ -126,6 +126,59 @@ def write_prompt_paged(
     )
 
 
+def write_chunk_paged(
+    cache: PagedKVCache,
+    seq: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    page_start: int,
+    new_len: jnp.ndarray,
+) -> PagedKVCache:
+    """Chunked prefill: quantize [h, c, d] K/V (c a multiple of page_size)
+    into the pages `seq` owns starting at table column `page_start` (static
+    — the engine's chunk grid is page-aligned); set length = new_len.
+    The caller trims c so page_start + c/ps <= max_pages (an untrimmed
+    dynamic_slice would clamp and corrupt earlier pages)."""
+    h, c, d = k_new.shape
+    ps = cache.page_size
+    n_chunk_pages = c // ps
+    k_i8, sk = _row_quant(k_new.astype(jnp.float32))
+    v_i8, sv = _row_quant(v_new.astype(jnp.float32))
+    pages = jax.lax.dynamic_slice(
+        cache.page_table[seq], (page_start,), (n_chunk_pages,)
+    )
+    k_i8 = k_i8.reshape(h, n_chunk_pages, ps, d)
+    v_i8 = v_i8.reshape(h, n_chunk_pages, ps, d)
+    sk = sk.reshape(h, n_chunk_pages, ps).swapaxes(0, 1)
+    sv = sv.reshape(h, n_chunk_pages, ps).swapaxes(0, 1)
+    return cache._replace(
+        k_pages=cache.k_pages.at[:, pages].set(k_i8),
+        sk=cache.sk.at[pages].set(sk),
+        v_pages=cache.v_pages.at[:, pages].set(v_i8),
+        sv=cache.sv.at[pages].set(sv),
+        lengths=cache.lengths.at[seq].set(new_len.astype(jnp.int32)),
+    )
+
+
+def read_prefix_paged(cache: PagedKVCache, seq: jnp.ndarray, n_tokens: int):
+    """Gather + dequantize the first `n_tokens` (static, a multiple of
+    page_size) of sequence `seq` from its pages: returns (k, v) f32
+    [h, n_tokens, d] — the chunked-prefill prefix, read back exactly as
+    every later decode step will see it."""
+    ps = cache.page_size
+    n_pre = n_tokens // ps
+    pages = cache.page_table[seq][:n_pre]
+    h = cache.k_pages.shape[0]
+    d = cache.k_pages.shape[3]
+
+    def deq(payload, scales):
+        x = payload[:, pages].astype(jnp.float32)      # [h, n_pre, ps, d]
+        s = scales[pages].transpose(1, 0, 2)           # [h, n_pre, ps]
+        return (x * s[..., None]).reshape(h, n_pre * ps, d)
+
+    return deq(cache.k_pages, cache.sk), deq(cache.v_pages, cache.sv)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def append_token_paged(
     cache: PagedKVCache,

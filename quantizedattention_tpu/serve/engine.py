@@ -123,9 +123,10 @@ class ServingEngine:
         if prefill_chunk is not None:
             if prefill_chunk % 128 != 0 or prefill_chunk <= 0:
                 raise ValueError("prefill_chunk must be a positive multiple of 128")
-            if cache != "slotted" or mesh is not None:
-                raise ValueError("chunked prefill currently requires the "
-                                 "single-host slotted cache")
+            if cache == "paged" and prefill_chunk % page_size != 0:
+                raise ValueError("prefill_chunk must be a multiple of page_size")
+            if mesh is not None:
+                raise ValueError("chunked prefill is single-host for now")
         self._pending: dict | None = None  # in-flight chunked prefill
         self._pending_decode_turn = False
         self._pending_bank = None  # pipelined horizon bank awaiting its fetch
@@ -381,7 +382,9 @@ class ServingEngine:
 
     def _do_prefill(self, rid: int, slot: int):
         prompt = self._prompts[rid]
-        if self.prefill_chunk is not None and len(prompt) > self.prefill_chunk:
+        chunked = (self.prefill_chunk is not None
+                   and len(prompt) > self.prefill_chunk)
+        if chunked and self.cache_kind != "paged":
             # long prompt: chunked admission — the slot is reserved now, and
             # step() interleaves decode steps between the chunks
             self._pending = {"rid": rid, "slot": slot, "prompt": prompt, "next": 0}
@@ -414,6 +417,14 @@ class ServingEngine:
             self.caches = [
                 assign_pages(c, jnp.int32(slot), table_row) for c in self.caches
             ]
+            if chunked:
+                # pages are assigned; the chunk grid is page-aligned so the
+                # chunked writes land in the owned pages
+                self._pending = {"rid": rid, "slot": slot, "prompt": prompt,
+                                 "next": 0}
+                self._pending_decode_turn = True
+                self._do_prefill_chunk()
+                return
             t_pad = -(-max(len(prompt), 1) // ps) * ps
         else:
             # Clamp the power-of-two bucket at the (128-rounded) cache

@@ -266,22 +266,23 @@ def test_engine_mesh_mode_matches_local():
         assert res_l[rl].tokens == res_s[rs].tokens
 
 
-def test_engine_chunked_prefill_matches_unchunked():
-    """Chunked prefill (prefix read back from the quantized cache) must
-    produce the same greedy tokens as the one-shot prefill engine on these
-    seeds, for single and concurrent requests."""
+@pytest.mark.parametrize("cache", ["slotted", "paged"])
+def test_engine_chunked_prefill_matches_unchunked(cache):
+    """Chunked prefill (prefix read back from the quantized cache/pages)
+    must produce the same greedy tokens as the one-shot prefill engine on
+    these seeds, for single and concurrent requests."""
     cfg = small_cfg(max_seq=512)
     params = init_transformer(jax.random.key(0), cfg)
     long_prompt = [int(x) for x in range(2, 50)]  # 48 tokens, chunk=128 -> 1 chunk
     longer = ([7, 3, 9, 11] * 80)[: cfg.max_seq - 40]  # multi-chunk prompt
 
-    plain = ServingEngine(params, cfg, n_slots=2, scheduler="python")
+    plain = ServingEngine(params, cfg, n_slots=2, scheduler="python", cache=cache)
     r1 = plain.submit(longer, 8)
     r2 = plain.submit(long_prompt, 8)
     res_plain = plain.run()
 
     chunked = ServingEngine(params, cfg, n_slots=2, scheduler="python",
-                            prefill_chunk=128)
+                            cache=cache, prefill_chunk=128)
     c1 = chunked.submit(longer, 8)
     c2 = chunked.submit(long_prompt, 8)
     res_chunked = chunked.run()
