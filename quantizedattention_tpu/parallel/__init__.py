@@ -17,7 +17,7 @@ device). The TPU build scales the same kernels across a pod slice:
 from quantizedattention_tpu.parallel.mesh import make_attention_mesh
 from quantizedattention_tpu.parallel.multihost import initialize_multihost, make_pod_mesh
 from quantizedattention_tpu.parallel.sharded import make_sharded_attention
-from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_attention
+from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_attention, ring_attention_jvp
 from quantizedattention_tpu.parallel.ulysses import ulysses_attention, make_ulysses_attention
 from quantizedattention_tpu.parallel.collective import (
     allgather_kv_attention,
@@ -51,6 +51,7 @@ __all__ = [
     "make_sharded_attention",
     "ring_attention",
     "make_ring_attention",
+    "ring_attention_jvp",
     "ulysses_attention",
     "make_ulysses_attention",
     "allgather_kv_attention",

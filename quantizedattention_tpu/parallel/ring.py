@@ -37,6 +37,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+from quantizedattention_tpu.ops.jvp_bwd import attention_jvp_bwd
+from quantizedattention_tpu.ops.jvp_fwd import attention_jvp_fwd
 from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
 from quantizedattention_tpu.ops.int8_fwd import (
     int8_attention_fwd_from_quantized,
@@ -386,3 +388,173 @@ def make_ring_attention(
         )
 
     return jax.jit(sharded)
+
+
+# --------------------------------------------------------------------------
+# JVP ring: sequence-parallel (O, tO) — long-context rCM distillation.
+# The four-way merge is exact: with per-shard normalized partials
+# (o_i, to_i, lse_i, mu_i) and weights w_i = exp2(lse_i − m),
+#     A_i + B_i = l_i·(to_i + mu_i·o_i)
+# so  o  = Σ w_i o_i / Σ w_i,          mu = Σ w_i mu_i / Σ w_i,
+#     to = Σ w_i (to_i + mu_i o_i) / Σ w_i − mu·o,
+# and lse = m + log2 Σ w_i — no second pass over K/V. The backward is a
+# second-order ring: (K, V, tK, tV) rotate with their (dK, dV, dtK, dtV)
+# accumulators and each step runs ops/jvp_bwd against the GLOBAL
+# (o, to, lse, mu) residuals. No reference counterpart at any scale.
+# --------------------------------------------------------------------------
+
+def _merge_jvp_partials(acc, part):
+    o1, to1, lse1, mu1 = acc
+    o2, to2, lse2, mu2 = part
+    m = jnp.maximum(lse1, lse2)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w1 = jnp.where(jnp.isfinite(lse1), jnp.exp2(lse1 - m_safe), 0.0)
+    w2 = jnp.where(jnp.isfinite(lse2), jnp.exp2(lse2 - m_safe), 0.0)
+    l = w1 + w2
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = (o1 * w1[..., None] + o2 * w2[..., None]) / l_safe[..., None]
+    mu = (mu1 * w1 + mu2 * w2) / l_safe
+    # numerator of to carries the +mu_i·o_i de-centering per partial
+    num = ((to1 + mu1[..., None] * o1) * w1[..., None]
+           + (to2 + mu2[..., None] * o2) * w2[..., None]) / l_safe[..., None]
+    to = num - mu[..., None] * o
+    lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log2(l_safe))
+    return o, to, lse, mu
+
+
+def _ring_jvp_fwd_impl(q, k, v, tq, tk, tv, axis_name, causal, sm_scale,
+                       config, fast):
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    batch, head, t_local, head_dim = q.shape
+
+    o = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
+    to = jnp.zeros_like(o)
+    lse = jnp.full((batch, head, t_local), _NEG_INF, jnp.float32)
+    mu = jnp.zeros_like(lse)
+    acc = (o, to, lse, mu)
+    kv = (k, v, tk, tv)
+    for step in range(n):
+        kv_next = _rotate(kv, axis_name, perm) if step < n - 1 else None
+        src = (idx - step) % n
+
+        def _attend(state, causal_step):
+            k_b, v_b, tk_b, tv_b = state
+            return attention_jvp_fwd(
+                q, k_b, v_b, tq, tk_b, tv_b, causal=causal_step,
+                sm_scale=sm_scale, config=config, fast=fast,
+            )
+
+        if causal:
+            if step == 0:
+                part = _attend(kv, True)  # aligned diagonal shard
+            else:
+                part = jax.lax.cond(
+                    src < idx,
+                    lambda st: _attend(st, False),
+                    lambda st: (jnp.zeros_like(o), jnp.zeros_like(o),
+                                jnp.full_like(lse, _NEG_INF), jnp.zeros_like(mu)),
+                    kv,
+                )
+        else:
+            part = _attend(kv, False)
+        acc = _merge_jvp_partials(acc, part)
+        if kv_next is not None:
+            kv = kv_next
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _ring_jvp(q, k, v, tq, tk, tv, axis_name, causal, sm_scale, config, fast):
+    o, to, _, _ = _ring_jvp_fwd_impl(
+        q, k, v, tq, tk, tv, axis_name, causal, sm_scale, config, fast
+    )
+    return o, to
+
+
+def _ring_jvp_fwd(q, k, v, tq, tk, tv, axis_name, causal, sm_scale, config, fast):
+    o, to, lse, mu = _ring_jvp_fwd_impl(
+        q, k, v, tq, tk, tv, axis_name, causal, sm_scale, config, fast
+    )
+    return (o, to), (q, k, v, tq, tk, tv, o, to, lse, mu)
+
+
+def _ring_jvp_bwd(axis_name, causal, sm_scale, config, fast, res, cts):
+    q, k, v, tq, tk, tv, o, to, lse, mu = res
+    do, dto = cts
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    dq = jnp.zeros_like(q, dtype=jnp.float32)
+    dtq = jnp.zeros_like(dq)
+    state = (k, v, tk, tv)
+    dk_acc = jnp.zeros_like(k, dtype=jnp.float32)
+    dv_acc = jnp.zeros_like(dk_acc)
+    dtk_acc = jnp.zeros_like(dk_acc)
+    dtv_acc = jnp.zeros_like(dk_acc)
+    for step in range(n):
+        kv_next = _rotate(state, axis_name, perm) if step < n - 1 else None
+        src = (idx - step) % n
+
+        def _grads(st, causal_step):
+            k_b, v_b, tk_b, tv_b = st
+            return attention_jvp_bwd(
+                q, k_b, v_b, tq, tk_b, tv_b, o, to, lse, mu, do, dto,
+                causal=causal_step, sm_scale=sm_scale, config=config, fast=fast,
+            )
+
+        if causal:
+            if step == 0:
+                grads = _grads(state, True)
+            else:
+                grads = jax.lax.cond(
+                    src < idx,
+                    lambda st: _grads(st, False),
+                    lambda st: (jnp.zeros_like(dq), jnp.zeros_like(dk_acc),
+                                jnp.zeros_like(dv_acc), jnp.zeros_like(dtq),
+                                jnp.zeros_like(dtk_acc), jnp.zeros_like(dtv_acc)),
+                    state,
+                )
+        else:
+            grads = _grads(state, False)
+        dq_p, dk_p, dv_p, dtq_p, dtk_p, dtv_p = grads
+        dq = dq + dq_p
+        dtq = dtq + dtq_p
+        dk_acc = dk_acc + dk_p
+        dv_acc = dv_acc + dv_p
+        dtk_acc = dtk_acc + dtk_p
+        dtv_acc = dtv_acc + dtv_p
+        if kv_next is not None:
+            dk_acc, dv_acc, dtk_acc, dtv_acc = _rotate(
+                (dk_acc, dv_acc, dtk_acc, dtv_acc), axis_name, perm
+            )
+            state = kv_next
+
+    dk_acc, dv_acc, dtk_acc, dtv_acc = _rotate(
+        (dk_acc, dv_acc, dtk_acc, dtv_acc), axis_name, perm
+    )
+    return (dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype),
+            dtq.astype(tq.dtype), dtk_acc.astype(tk.dtype),
+            dtv_acc.astype(tv.dtype))
+
+
+_ring_jvp.defvjp(_ring_jvp_fwd, _ring_jvp_bwd)
+
+
+def ring_attention_jvp(
+    q, k, v, tq, tk, tv,
+    axis_name: str,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    fast: bool = False,
+):
+    """Sequence-parallel (O, tO) pair — call inside shard_map with every
+    tensor sequence-sharded on `axis_name`. Differentiable in reverse mode
+    (second-order ring backward); the long-context rCM training primitive.
+    """
+    if config is None:
+        config = default_block_config("jvp", q.shape[2], q.shape[2], q.shape[3])
+    return _ring_jvp(q, k, v, tq, tk, tv, axis_name, causal, sm_scale, config, fast)

@@ -343,6 +343,61 @@ def test_kv_sharded_attention(rng, causal):
     assert rep.mismatch_rate <= 2e-3, rep
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_jvp_ring_forward_and_grads(rng, causal):
+    """Sequence-parallel (O, tO) ring: the four-way (o, to, lse, mu) merge
+    must equal the unsharded oracle pair, and the second-order ring backward
+    must match jax.grad-of-jax.jvp of the fp32 oracle — the long-context
+    rCM training path (no reference counterpart at any scale)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel import ring_attention_jvp
+    from quantizedattention_tpu.reference import reference_attention
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    tq, tk, tv = (jax.random.normal(kk_, q.shape)
+                  for kk_ in jax.random.split(jax.random.key(17), 3))
+    wo = jax.random.normal(jax.random.key(18), q.shape)
+    wt = jax.random.normal(jax.random.key(19), q.shape)
+    spec = P(None, "model", "context", None)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec,) * 6, out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def pair(*args):
+        return ring_attention_jvp(*args, axis_name="context", causal=causal)
+
+    o, to = pair(q, k, v, tq, tk, tv)
+    o_w, to_w = jax.jvp(
+        lambda a, b, c: reference_attention(a, b, c, causal=causal),
+        (q, k, v), (tq, tk, tv),
+    )
+    assert mismatch_report("jvp ring O", o, o_w, atol=1e-2).mismatches == 0
+    assert mismatch_report("jvp ring tO", to, to_w, atol=1e-2).mismatches == 0
+
+    def loss(*args):
+        o_, to_ = pair(*args)
+        return jnp.sum(o_ * wo) + jnp.sum(to_ * wt)
+
+    def loss_ref(q_, k_, v_, tq_, tk_, tv_):
+        o_, to_ = jax.jvp(
+            lambda a, b, c: reference_attention(a, b, c, causal=causal),
+            (q_, k_, v_), (tq_, tk_, tv_),
+        )
+        return jnp.sum(o_ * wo) + jnp.sum(to_ * wt)
+
+    got = jax.grad(loss, argnums=tuple(range(6)))(q, k, v, tq, tk, tv)
+    want = jax.grad(loss_ref, argnums=tuple(range(6)))(q, k, v, tq, tk, tv)
+    for g, w, n in zip(got, want, ["q", "k", "v", "tq", "tk", "tv"]):
+        rep = mismatch_report(f"jvp ring d{n}", g, w, atol=1e-2)
+        assert rep.mismatch_rate <= 3.5e-4, rep
+
+
 def test_jvp_pair_under_head_tp(rng):
     """The (O, tO) pair kernel + its second-order backward compose with
     head-TP shard_map (attention is per-head, so the tangent map and the
