@@ -150,3 +150,82 @@ def dit_jvp_step(params, x_t, t, cfg: DiTConfig, dx_dt=None):
         (x_t, t),
         (dx_dt, jnp.ones_like(t)),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-parallel rCM training: dp x sp over a (data, context) mesh with
+# the JVP ring (parallel/ring.ring_attention_jvp). Everything except
+# attention is per-token, so sequence sharding is free; the attention
+# (O, tO) pair streams around the ring and its second-order backward rides
+# the same ring. This is long-context consistency distillation — the
+# reference's JVP kernel has neither a backward nor any distribution.
+# --------------------------------------------------------------------------
+
+def make_dit_rcm_step(mesh, cfg: DiTConfig, optimizer=None, fast: bool = True,
+                      data_axis: str = "data", context_axis: str = "context"):
+    """Returns (optimizer, step) with step: (params, opt_state, x, t) ->
+    (params, opt_state, loss). x is a global [B, N, D] latent batch laid
+    out P(data, context); t is [B] replicated. The rCM surrogate loss
+    (mean du/dt^2 + 0.1 mean u^2) backpropagates through the JVP ring.
+    """
+    import functools
+
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel.ring import ring_attention_jvp
+
+    if optimizer is None:
+        optimizer = optax.adamw(1e-4)
+
+    from quantizedattention_tpu.parallel.ring import ring_attention
+
+    @jax.custom_jvp
+    def _ring_rcm_attention(q, k, v):
+        # primal-only path (feeds the stop-gradient tangent direction):
+        # the plain bf16 ring — 3x fewer matmuls than the (O, tO) pair
+        return ring_attention(q, k, v, context_axis, causal=False, kind="bf16")
+
+    @_ring_rcm_attention.defjvp
+    def _ring_rcm_rule(primals, tangents):
+        return ring_attention_jvp(*primals, *tangents,
+                                  axis_name=context_axis, fast=fast)
+
+    x_spec = P(data_axis, context_axis, None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), x_spec, P(data_axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def sharded_loss(params, x, t):
+        def fwd(x_, t_):
+            return dit_forward(params, x_, t_, cfg, attention=_ring_rcm_attention)
+
+        # the prepass must NOT go through the pair-ruled custom_jvp (its rule
+        # mixes primal and tangent args, which reverse-mode linearization
+        # cannot split — same split as dit_jvp_step): plain bf16 ring, and
+        # the direction is stop-gradiented per rCM anyway
+        def fwd_plain(x_, t_):
+            return dit_forward(
+                params, x_, t_, cfg,
+                attention=lambda a, b, c: ring_attention(
+                    a, b, c, context_axis, causal=False, kind="bf16"),
+            )
+
+        dx_dt = jax.lax.stop_gradient(fwd_plain(x, t))  # rCM tangent direction
+        u, dudt = jax.jvp(fwd, (x, t), (dx_dt, jnp.ones_like(t)))
+        local = jnp.sum(dudt**2) + 0.1 * jnp.sum(u**2)
+        total = jax.lax.psum(local, (data_axis, context_axis))
+        count = jax.lax.psum(u.size, (data_axis, context_axis))
+        return total / count
+
+    @jax.jit
+    def step(params, opt_state, x, t):
+        loss, grads = jax.value_and_grad(sharded_loss)(params, x, t)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return optimizer, step
