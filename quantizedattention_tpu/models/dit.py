@@ -173,18 +173,19 @@ def make_dit_rcm_step(mesh, cfg: DiTConfig, optimizer=None, fast: bool = True,
     import optax
     from jax.sharding import PartitionSpec as P
 
-    from quantizedattention_tpu.parallel.ring import ring_attention_jvp
+    from quantizedattention_tpu.parallel.ring import ring_attention, ring_attention_jvp
 
     if optimizer is None:
         optimizer = optax.adamw(1e-4)
 
-    from quantizedattention_tpu.parallel.ring import ring_attention
+    def _plain_ring(q, k, v):
+        return ring_attention(q, k, v, context_axis, causal=False, kind="bf16")
 
     @jax.custom_jvp
     def _ring_rcm_attention(q, k, v):
         # primal-only path (feeds the stop-gradient tangent direction):
         # the plain bf16 ring — 3x fewer matmuls than the (O, tO) pair
-        return ring_attention(q, k, v, context_axis, causal=False, kind="bf16")
+        return _plain_ring(q, k, v)
 
     @_ring_rcm_attention.defjvp
     def _ring_rcm_rule(primals, tangents):
@@ -209,18 +210,23 @@ def make_dit_rcm_step(mesh, cfg: DiTConfig, optimizer=None, fast: bool = True,
         # cannot split — same split as dit_jvp_step): plain bf16 ring, and
         # the direction is stop-gradiented per rCM anyway
         def fwd_plain(x_, t_):
-            return dit_forward(
-                params, x_, t_, cfg,
-                attention=lambda a, b, c: ring_attention(
-                    a, b, c, context_axis, causal=False, kind="bf16"),
-            )
+            return dit_forward(params, x_, t_, cfg, attention=_plain_ring)
 
         dx_dt = jax.lax.stop_gradient(fwd_plain(x, t))  # rCM tangent direction
         u, dudt = jax.jvp(fwd, (x, t), (dx_dt, jnp.ones_like(t)))
         local = jnp.sum(dudt**2) + 0.1 * jnp.sum(u**2)
         total = jax.lax.psum(local, (data_axis, context_axis))
         count = jax.lax.psum(u.size, (data_axis, context_axis))
-        return total / count
+        loss = total / count
+        # mesh axes this step does not use (e.g. 'model') replicate the whole
+        # computation; a pmean over them is the identity on VALUES but makes
+        # the shard_map transpose average — not sum — the replicated param
+        # cotangents (without it, grads come out axis_size x too large)
+        extra = tuple(a for a in mesh.axis_names
+                      if a not in (data_axis, context_axis))
+        if extra:
+            loss = jax.lax.pmean(loss, extra)
+        return loss
 
     @jax.jit
     def step(params, opt_state, x, t):

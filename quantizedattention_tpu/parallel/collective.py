@@ -136,6 +136,16 @@ def _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
         raise ValueError("int8 all-gather requires t_local % 128 == 0")
     if config is None:
         config = default_block_config("int8", t_local, t_local, head_dim)
+    # clamp blocks to the SHARD length: per-shard quantization padding would
+    # otherwise become unmasked INTERIOR padding after the gather (the
+    # kernel's padding mask is tail-only) — with the clamp, padded == t_local
+    # and the concatenation is gap-free.
+    config = config.clamp(t_local, t_local)
+    if t_local % config.block_kv != 0 or t_local % config.kv_compute != 0:
+        raise ValueError(
+            f"int8 all-gather: t_local={t_local} must be a multiple of the "
+            f"kv block ({config.block_kv}) and grain ({config.kv_compute})"
+        )
     k_mean = jax.lax.pmean(jnp.mean(k, axis=-2, keepdims=True), axis_name)
     (q_i8, sq), (k_i8, sk), (v_i8, sv) = quantize_qkv(q, k, v, config, k_sub=k_mean)
     # gather along the (padded == t_local) token axis; scale tables gather
@@ -212,6 +222,7 @@ def kv_sharded_attention_int8(q, k, v, axis_name, causal=False, sm_scale=None,
     head_dim = q.shape[3]
     if config is None:
         config = default_block_config("int8", q.shape[2], t_local, head_dim)
+    config = config.clamp(q.shape[2], t_local)
     k_mean = jax.lax.pmean(jnp.mean(k, axis=-2, keepdims=True), axis_name)
     residuals = quantize_qkv(q, k, v, config, k_sub=k_mean)
     dims = (batch, head, q.shape[2], t_local, head_dim)

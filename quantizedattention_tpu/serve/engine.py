@@ -354,6 +354,13 @@ class ServingEngine:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def _start_chunked_prefill(self, rid: int, slot: int, prompt):
+        """Begin chunked admission: the slot is reserved now, and step()
+        interleaves decode steps between the chunks."""
+        self._pending = {"rid": rid, "slot": slot, "prompt": prompt, "next": 0}
+        self._pending_decode_turn = True
+        self._do_prefill_chunk()
+
     def _do_prefill_chunk(self):
         """Advance the in-flight chunked prefill by one chunk."""
         p = self._pending
@@ -385,11 +392,7 @@ class ServingEngine:
         chunked = (self.prefill_chunk is not None
                    and len(prompt) > self.prefill_chunk)
         if chunked and self.cache_kind != "paged":
-            # long prompt: chunked admission — the slot is reserved now, and
-            # step() interleaves decode steps between the chunks
-            self._pending = {"rid": rid, "slot": slot, "prompt": prompt, "next": 0}
-            self._pending_decode_turn = True
-            self._do_prefill_chunk()
+            self._start_chunked_prefill(rid, slot, prompt)
             return
         if self.cache_kind == "paged":
             ps = self._page_size
@@ -420,10 +423,7 @@ class ServingEngine:
             if chunked:
                 # pages are assigned; the chunk grid is page-aligned so the
                 # chunked writes land in the owned pages
-                self._pending = {"rid": rid, "slot": slot, "prompt": prompt,
-                                 "next": 0}
-                self._pending_decode_turn = True
-                self._do_prefill_chunk()
+                self._start_chunked_prefill(rid, slot, prompt)
                 return
             t_pad = -(-max(len(prompt), 1) // ps) * ps
         else:

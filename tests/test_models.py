@@ -180,6 +180,33 @@ def test_dit_rcm_sharded_step(rng):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (emulated) devices")
+def test_dit_rcm_step_unused_model_axis_grads(rng):
+    """Code-review regression: a mesh with an unused 'model' axis replicates
+    the rCM computation; without the pmean over unused axes the shard_map
+    transpose SUMS the replicated param cotangents and grads come out
+    n_model x too large. Same data must produce the same post-step params
+    on (data=2, model=1, context=4) and (data=2, model=2, context=2)."""
+    from quantizedattention_tpu.models.dit import make_dit_rcm_step
+
+    cfg = DiTConfig(d_model=128, n_heads=2, head_dim=64, n_layers=1, seq_len=256)
+    params = init_dit(rng, cfg)
+    kx, kt = jax.random.split(jax.random.key(8))
+    x = jax.random.normal(kx, (2, cfg.seq_len, cfg.d_model))
+    t = jax.random.uniform(kt, (2,))
+
+    outs = []
+    for dm, mm, cm in ((2, 1, 4), (2, 2, 2)):
+        mesh = make_attention_mesh(data=dm, model=mm, context=cm)
+        optimizer, step = make_dit_rcm_step(mesh, cfg, fast=False)
+        p1, _, loss = step(params, optimizer.init(params), x, t)
+        outs.append((float(loss), p1))
+    (l_a, p_a), (l_b, p_b) = outs
+    assert abs(l_a - l_b) < 1e-5 * max(1.0, abs(l_a))
+    for a, b in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4, "param updates diverged"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (emulated) devices")
 def test_sharded_train_step(rng):
     """DP x TP x SP train step on a 2x2x2 emulated mesh."""
     cfg = TransformerConfig(
