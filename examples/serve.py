@@ -27,7 +27,11 @@ def main():
         n_slots=4,                     # concurrent sequences
         cache="paged",                 # vLLM-style paged int8 KV cache
         param_dtype=jnp.bfloat16,      # serving weights (1.5x decode)
-        decode_horizon=8,              # tokens per host round-trip
+        decode_horizon=8,              # tokens per host round-trip (banks
+                                       # are PIPELINED: fetch N overlaps
+                                       # the execution of bank N+1)
+        prefill_chunk=128,             # long prompts admit chunk by chunk,
+                                       # decode steps interleave between them
         temperature=0.8, seed=0,       # sampling (0.0 = greedy)
         eos_id=2,
     )
