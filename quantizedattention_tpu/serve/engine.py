@@ -125,8 +125,6 @@ class ServingEngine:
                 raise ValueError("prefill_chunk must be a positive multiple of 128")
             if cache == "paged" and prefill_chunk % page_size != 0:
                 raise ValueError("prefill_chunk must be a multiple of page_size")
-            if mesh is not None:
-                raise ValueError("chunked prefill is single-host for now")
         self._pending: dict | None = None  # in-flight chunked prefill
         self._pending_decode_turn = False
         self._pending_bank = None  # pipelined horizon bank awaiting its fetch
@@ -203,6 +201,10 @@ class ServingEngine:
             self._prefill = make_sharded_prefill_slot(
                 mesh, cfg, cache=cache, temperature=temperature
             )
+            if prefill_chunk is not None:
+                self._prefill_chunk_fn = make_sharded_prefill_chunk(
+                    mesh, cfg, cache=cache, temperature=temperature
+                )
         else:
             self._decode = jax.jit(
                 functools.partial(decode_step_batched, cfg=cfg, temperature=temperature)
@@ -732,6 +734,135 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
         if key is None:
             key = jax.random.key(0)  # unused placeholder (greedy path)
         return _jitted(params, caches, tokens, true_len, slot, key)
+
+    return prefill
+
+
+def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
+                               cache: str = "slotted",
+                               temperature: float = 0.0):
+    """Multi-chip CHUNKED prefill (the mesh counterpart of
+    models.transformer.prefill_chunk, same keyword signature).
+
+    Chunk activations replicate across `data` (heads shard on `model`), so
+    the causal self part runs everywhere; the PREFIX lives only in the
+    owning data shard's cache, so every shard computes the prefix part
+    against its local row (garbage off-owner — bounded int8 values), merges
+    locally, and one masked psum over `data` selects the owner's merged
+    output for all shards. The owning shard alone writes the chunk."""
+    from quantizedattention_tpu.models.sharded_train import param_specs
+    from quantizedattention_tpu.models.transformer import sample_token
+    from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+    from quantizedattention_tpu.parallel.kv_cache import write_kv_chunk
+    from quantizedattention_tpu.parallel.paged_cache import (
+        PagedKVCache,
+        read_prefix_paged,
+        write_chunk_paged,
+    )
+    from quantizedattention_tpu.parallel.ring import _merge_partials
+
+    specs = param_specs(cfg)
+    cspecs = _layer_cache_specs(cfg, cache)
+    n_model = mesh.shape["model"]
+    h_loc = cfg.n_heads // n_model
+    kv_loc = cfg.n_kv_heads // n_model
+    rep = h_loc // kv_loc
+
+    def _build(chunk_start: int, last: bool):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(specs, cspecs, P(), P(), P(), P()),
+            out_specs=(P(), cspecs),
+            check_vma=False,
+        )
+        def sharded(params, caches, tokens, true_end, slot, key):
+            c0 = caches[0]
+            slots_loc = (c0.lengths if hasattr(c0, "lengths") else c0.length).shape[0]
+            data_idx = jax.lax.axis_index("data")
+            own = (slot // slots_loc) == data_idx
+            slot_loc = slot % slots_loc
+
+            c = tokens.shape[0]
+            positions = chunk_start + jnp.arange(c)
+            x = params["embed"][tokens][None]
+            new_caches = []
+            for layer, cache_l in zip(params["layers"], caches):
+                paged = isinstance(cache_l, PagedKVCache)
+                h = rmsnorm(x, layer["ln1"])
+                q = (h @ layer["wq"]).reshape(1, c, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+                k = (h @ layer["wk"]).reshape(1, c, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+                v = (h @ layer["wv"]).reshape(1, c, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+                q = rope(q, positions, cfg.rope_base)
+                k = rope(k, positions, cfg.rope_base)
+
+                new_len = jnp.minimum(chunk_start + c, true_end)
+                if paged:
+                    ps = cache_l.page_size
+                    cap = cache_l.page_table.shape[1] * ps
+                    c_w = min(c, cap - chunk_start)
+                    write = lambda cc: write_chunk_paged(
+                        cc, slot_loc, k[0, :, :c_w], v[0, :, :c_w],
+                        chunk_start // ps, new_len)
+                else:
+                    c_w = min(c, cache_l.max_len - chunk_start)
+                    write = lambda cc: write_kv_chunk(
+                        cc, slot_loc, k[0, :, :c_w], v[0, :, :c_w],
+                        chunk_start, new_len)
+                cache_l = jax.lax.cond(own, write, lambda cc: cc, cache_l)
+
+                k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+                v_r = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+                o, lse = flash_attention_fwd(q, k_r, v_r, causal=True)
+                if chunk_start > 0:
+                    if paged:
+                        k_pre, v_pre = read_prefix_paged(cache_l, slot_loc, chunk_start)
+                        k_pre, v_pre = k_pre[None], v_pre[None]
+                    else:
+                        k_pre = (
+                            cache_l.k_i8[slot_loc, :, :chunk_start].astype(jnp.float32)
+                            * cache_l.sk[slot_loc, :, :chunk_start, None]
+                        )[None]
+                        v_pre = (
+                            cache_l.v_i8[slot_loc, :, :chunk_start].astype(jnp.float32)
+                            * cache_l.sv[slot_loc, :, :chunk_start, None]
+                        )[None]
+                    if rep > 1:
+                        k_pre = jnp.repeat(k_pre, rep, axis=1)
+                        v_pre = jnp.repeat(v_pre, rep, axis=1)
+                    o2, lse2 = flash_attention_fwd(q, k_pre, v_pre, causal=False)
+                    o, _ = _merge_partials(o, lse, o2, lse2)
+                    # select the OWNER's merged output on every data shard
+                    # (off-owner prefixes were garbage); self-part-only
+                    # results cancel via the mask
+                    o = jax.lax.psum(
+                        jnp.where(own, o, jnp.zeros_like(o)), "data"
+                    )
+                o = o.transpose(0, 2, 1, 3).reshape(1, c, h_loc * cfg.head_dim)
+                x = x + jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
+                hh = rmsnorm(x, layer["ln2"])
+                x = x + jax.lax.psum(jax.nn.gelu(hh @ layer["w1"]) @ layer["w2"], "model")
+                new_caches.append(cache_l)
+            if not last:
+                return jnp.zeros((), jnp.int32), new_caches
+            x = rmsnorm(x, params["final_norm"])
+            logits = x[0, true_end - 1 - chunk_start] @ params["unembed"]
+            k_s = None if temperature == 0.0 else key
+            return sample_token(logits, temperature, k_s), new_caches
+
+        return jax.jit(sharded)
+
+    built = {}
+
+    def prefill(params, caches, tokens, chunk_start, true_end, slot, last,
+                key=None):
+        if key is None:
+            key = jax.random.key(0)
+        fn = built.get((chunk_start, last, tokens.shape[0]))
+        if fn is None:
+            fn = built[(chunk_start, last, tokens.shape[0])] = _build(chunk_start, last)
+        tok, caches = fn(params, caches, tokens, jnp.int32(true_end), slot, key)
+        return (tok if last else None), caches
 
     return prefill
 

@@ -338,6 +338,33 @@ def test_engine_chunked_prefill_interleaves_decodes():
     assert len(res[ra].tokens) == 20
 
 
+@pytest.mark.parametrize("cache", ["slotted", "paged"])
+def test_engine_mesh_chunked_prefill_matches_local(cache):
+    """Chunked prefill under a mesh (owner-masked prefix merge + psum
+    selection): tokens must equal the local unchunked engine's."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    from quantizedattention_tpu.parallel import make_attention_mesh
+
+    cfg = small_cfg(n_heads=4, n_kv_heads=4, max_seq=512)
+    params = init_transformer(jax.random.key(2), cfg)
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+    prompts = [([3, 1, 4, 1, 5] * 70)[:330], [9, 8, 7], [5] * 200, [2, 4]]
+    budgets = [5, 4, 6, 3]
+
+    local = ServingEngine(params, cfg, n_slots=4, scheduler="python")
+    rids_l = [local.submit(p, b) for p, b in zip(prompts, budgets)]
+    res_l = local.run()
+
+    sharded = ServingEngine(params, cfg, n_slots=4, scheduler="python",
+                            mesh=mesh, cache=cache, prefill_chunk=128)
+    rids_s = [sharded.submit(p, b) for p, b in zip(prompts, budgets)]
+    res_s = sharded.run()
+
+    for rl, rs in zip(rids_l, rids_s):
+        assert res_l[rl].tokens == res_s[rs].tokens
+
+
 def test_engine_mesh_paged_horizon_matches_local():
     """Mesh + paged cache + decode horizon (round-1 verdict gap: both raised
     ValueError under a mesh): per-data-shard page pools, shard_map prefill,
