@@ -357,7 +357,8 @@ def test_engine_mesh_chunked_prefill_matches_local(cache):
     res_l = local.run()
 
     sharded = ServingEngine(params, cfg, n_slots=4, scheduler="python",
-                            mesh=mesh, cache=cache, prefill_chunk=128)
+                            mesh=mesh, cache=cache, prefill_chunk=128,
+                            decode_horizon=2 if cache == "paged" else 1)
     rids_s = [sharded.submit(p, b) for p, b in zip(prompts, budgets)]
     res_s = sharded.run()
 
