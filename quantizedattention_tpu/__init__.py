@@ -20,11 +20,13 @@ __version__ = "0.1.0"
 from quantizedattention_tpu.ops import (
     flash_attention_bf16,
     sage_attention_int8,
+    sage_attention_int8_inference,
     attention_jvp,
     attention_value_and_jvp,
     flash_attention_fwd,
     flash_attention_bwd,
     int8_attention_fwd,
+    int8_attention_fwd_fused,
     int8_attention_bwd,
     attention_jvp_fwd,
 )
@@ -33,11 +35,13 @@ from quantizedattention_tpu.tune import BlockConfig, default_block_config
 __all__ = [
     "flash_attention_bf16",
     "sage_attention_int8",
+    "sage_attention_int8_inference",
     "attention_jvp",
     "attention_value_and_jvp",
     "flash_attention_fwd",
     "flash_attention_bwd",
     "int8_attention_fwd",
+    "int8_attention_fwd_fused",
     "int8_attention_bwd",
     "attention_jvp_fwd",
     "BlockConfig",

@@ -144,7 +144,11 @@ def dit_jvp_step(params, x_t, t, cfg: DiTConfig, dx_dt=None):
     forward-only).
     """
     if dx_dt is None:
-        dx_dt = dit_forward(params, x_t, t, cfg)
+        # stop-gradient the self-consistency direction, matching
+        # make_dit_rcm_step's sharded path: rCM treats the tangent direction
+        # as data, so single-device and sequence-parallel steps optimize the
+        # SAME objective (gradients do not flow through the prepass)
+        dx_dt = jax.lax.stop_gradient(dit_forward(params, x_t, t, cfg))
     return jax.jvp(
         lambda x_, t_: dit_forward(params, x_, t_, cfg, attention=_attention_rcm),
         (x_t, t),

@@ -6,14 +6,17 @@ the other axes — dp/tp/sp — live in models/sharded_train.py). Design:
   * The transformer's blocks are STACKED into one pytree with a leading
     layer axis and sharded P('pipe') on that axis — each of the S stages
     owns L/S contiguous blocks and runs them with a lax.scan.
-  * Embedding / unembedding are replicated and run outside the pipeline
-    (they are cheap; the pipeline carries only the d_model-wide activation
-    stream).
+  * Embedding / unembedding weights are replicated, but the WORK is not:
+    stage 0 embeds one microbatch per tick as it injects it, and the last
+    stage unembeds + accumulates the scalar loss per microbatch in-loop —
+    no [n_micro, b, t, d] activation bank and no full-batch epilogue.
   * The classic GPipe schedule: the batch splits into M microbatches; over
     T = M + S - 1 ticks, stage s processes microbatch t - s while
     jax.lax.ppermute shifts activations stage -> stage+1 each tick. The
     whole schedule is one lax.fori_loop inside shard_map, so XLA overlaps
-    the ppermute hop with the next tick's compute.
+    the ppermute hop with the next tick's compute. Fill/drain bubbles
+    (ticks where a stage has no live microbatch) skip the block stack via
+    lax.cond instead of computing into a discarded jnp.where.
   * Differentiability is free: ppermute's transpose is the reverse
     ppermute, scan/fori transpose handles the schedule, so jax.grad of the
     pipelined loss IS pipeline-parallel backward (activations are
@@ -123,52 +126,63 @@ def make_pipeline_train_step(
         b, t = tokens.shape
         mb = b // n_micro
         positions = jnp.arange(t)
+        d_model = params["embed"].shape[1]
 
-        # every stage embeds all microbatches (replicated, cheap) — only the
-        # stream through the blocks is pipelined
-        x_all = params["embed"][tokens].reshape(n_micro, mb, t, -1)
+        toks_mb = tokens.reshape(n_micro, mb, t)
+        tgts_mb = targets.reshape(n_micro, mb, t)
 
         fwd = functools.partial(_stage_fn, params["layers"], cfg=cfg, positions=positions)
         perm_fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        d_model = x_all.shape[-1]
-        out_all = jnp.zeros_like(x_all)
-        carry_in = jnp.zeros((mb, t, d_model), x_all.dtype)
+        carry_in = jnp.zeros((mb, t, d_model), params["embed"].dtype)
+        loss_sum = jnp.zeros((), jnp.float32)
 
         def tick(t_idx, state):
-            carry_in, out_all = state
+            carry_in, loss_sum = state
             mb_idx = t_idx - stage  # which microbatch this stage works on
-            # stage 0 injects fresh microbatches from x_all; others take the
-            # ppermuted activation from stage-1
-            inject = jnp.clip(t_idx, 0, n_micro - 1)
-            x_in = jnp.where(stage == 0, x_all[inject], carry_in)
             live = (mb_idx >= 0) & (mb_idx < n_micro)
-            y = fwd(x=x_in)
-            y = jnp.where(live, y, x_in)
-            # last stage banks its finished microbatch
-            bank = jnp.clip(mb_idx, 0, n_micro - 1)
-            out_all = jnp.where(
-                (stage == n_stages - 1) & live,
-                out_all.at[bank].set(y),
-                out_all,
+            inject = jnp.clip(t_idx, 0, n_micro - 1)
+            # stage 0 embeds ONLY the microbatch it injects this tick (no
+            # [n_micro, mb, t, d] bank materialized anywhere); other stages
+            # take the ppermuted activation from stage-1
+            x_in = jax.lax.cond(
+                (stage == 0) & live,
+                lambda c: params["embed"][toks_mb[inject]],
+                lambda c: c,
+                carry_in,
+            )
+            # dead ticks (the S-1 pipeline-fill/drain bubbles per stage)
+            # skip the block stack entirely instead of computing and
+            # discarding it — lax.cond executes one branch per device
+            y = jax.lax.cond(live, fwd, lambda x: x, x_in)
+            # the last stage consumes its finished microbatch IN-LOOP:
+            # unembed + nll on [mb, t] only, accumulated into a scalar — no
+            # full-batch output bank, no epilogue all_gather, and the
+            # unembed matmul runs once per microbatch on one stage instead
+            # of once per full batch on every stage
+            def bank_loss(ls):
+                h = rmsnorm(y, params["final_norm"])
+                logits = h @ params["unembed"]
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                tg = tgts_mb[jnp.clip(mb_idx, 0, n_micro - 1)]
+                nll = -jnp.take_along_axis(logp, tg[..., None], axis=-1)[..., 0]
+                return ls + jnp.sum(nll)
+
+            loss_sum = jax.lax.cond(
+                (stage == n_stages - 1) & live, bank_loss, lambda ls: ls, loss_sum
             )
             carry_next = jax.lax.ppermute(y, "pipe", perm_fwd)
-            return carry_next, out_all
+            return carry_next, loss_sum
 
-        carry_in, out_all = jax.lax.fori_loop(
-            0, n_micro + n_stages - 1, tick, (carry_in, out_all)
+        carry_in, loss_sum = jax.lax.fori_loop(
+            0, n_micro + n_stages - 1, tick, (carry_in, loss_sum)
         )
-
-        # only the last stage's bank is real; broadcast it to all stages
-        if n_stages > 1:
-            out_all = jax.lax.all_gather(out_all, "pipe")[n_stages - 1]
-
-        x = out_all.reshape(b, t, -1)
-        x = rmsnorm(x, params["final_norm"])
-        logits = x @ params["unembed"]
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        return jnp.mean(nll)
+        # only the last stage accumulated; psum replicates the total (and
+        # its transpose seeds each device's cotangent exactly once, so
+        # embed/unembed grads come out unscaled — each is touched by ONE
+        # stage's compute path)
+        total = jax.lax.psum(loss_sum, "pipe")
+        return total / (b * t)
 
     @jax.jit
     def step(params, opt_state, tokens, targets):

@@ -50,8 +50,13 @@ def param_specs(cfg: TransformerConfig):
 
 
 def _sharded_forward(params, tokens, cfg: TransformerConfig,
-                     config: BlockConfig | None, attention: str = "bf16"):
+                     config: BlockConfig | None, attention: str = "bf16",
+                     attention_sp: str = "ring"):
     """Per-device forward on local shards: tokens [B_loc, T_loc]."""
+    from quantizedattention_tpu.parallel.collective import (
+        allgather_kv_attention,
+        allgather_kv_attention_int8,
+    )
     n_model = jax.lax.axis_size("model")
     ctx_idx = jax.lax.axis_index("context")
     b_loc, t_loc = tokens.shape
@@ -67,10 +72,21 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
         v = (h @ layer["wv"]).reshape(b_loc, t_loc, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
         q = rope(q, positions, cfg.rope_base)
         k = rope(k, positions, cfg.rope_base)
-        # GQA: the ring takes UNREPEATED kv heads — the rotation moves only
-        # the kv-group payload over ICI and each hop repeats locally
-        o = ring_attention(q, k, v, "context", causal=True, config=config,
-                           kind=attention)
+        # GQA: both SP strategies take UNREPEATED kv heads — only the
+        # kv-group payload moves over ICI; repeats happen locally
+        if attention_sp == "ring":
+            o = ring_attention(q, k, v, "context", causal=True, config=config,
+                               kind=attention)
+        elif attention == "int8":
+            # the int8 all-gather path needs repeated heads (see collective)
+            rep = h_loc // kv_loc
+            k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+            v_r = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+            o = allgather_kv_attention_int8(q, k_r, v_r, "context",
+                                            causal=True, config=config)
+        else:
+            o = allgather_kv_attention(q, k, v, "context", causal=True,
+                                       config=config)
         o = o.transpose(0, 2, 1, 3).reshape(b_loc, t_loc, h_loc * cfg.head_dim)
         # out-projection contracts the model-sharded head dim: psum partials
         attn_out = jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
@@ -88,14 +104,21 @@ def make_sharded_train_step(
     optimizer=None,
     attention_config: BlockConfig | None = None,
     attention: str = "bf16",
+    attention_sp: str = "ring",
 ):
     """Returns (optimizer, step) with step: (params, opt_state, tokens,
     targets) -> (params, opt_state, loss). tokens/targets are global
     [B, T] arrays laid out P('data', 'context').
 
-    attention: "bf16" or "int8" — both ride the differentiable ring
-    (context parallelism); "int8" rotates quantized KV + scales in forward
-    AND backward. GQA (n_kv_heads < n_heads) repeats kv heads per shard.
+    attention: "bf16" or "int8" — both differentiable under either SP
+    strategy; "int8" moves quantized KV + scales over ICI in forward AND
+    backward. GQA (n_kv_heads < n_heads) repeats kv heads per shard.
+
+    attention_sp: "ring" (default — ppermute hops overlapped with compute;
+    best at long per-shard sequences) or "allgather" (K/V shards all-gather
+    up front, dK/dV reduce-scatter home; best when per-hop latency
+    dominates — short sequences / small shards, see parallel/collective.py
+    and the analytic model in bench_scaling.py).
     """
     import optax
 
@@ -109,6 +132,8 @@ def make_sharded_train_step(
         raise ValueError("n_heads must be a multiple of n_kv_heads")
     if attention not in ("bf16", "int8"):
         raise ValueError(f"unknown attention kind {attention!r}")
+    if attention_sp not in ("ring", "allgather"):
+        raise ValueError(f"unknown attention_sp {attention_sp!r}")
 
     specs = param_specs(cfg)
     tok_spec = P("data", "context")
@@ -121,7 +146,8 @@ def make_sharded_train_step(
         check_vma=False,
     )
     def sharded_loss(params, tokens, targets):
-        logits = _sharded_forward(params, tokens, cfg, attention_config, attention)
+        logits = _sharded_forward(params, tokens, cfg, attention_config,
+                                  attention, attention_sp)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         # global mean: sum over all shards / global token count

@@ -23,7 +23,10 @@ Public API (the analogue of flash_atten_2_bf16 / sage_attention_3_int8):
 
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
 from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
-from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd
+from quantizedattention_tpu.ops.int8_fwd import (
+    int8_attention_fwd,
+    int8_attention_fwd_fused,
+)
 from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
 from quantizedattention_tpu.ops.jvp_fwd import attention_jvp_fwd
 from quantizedattention_tpu.ops.jvp_bwd import attention_jvp_bwd
@@ -31,6 +34,7 @@ from quantizedattention_tpu.ops.jvp_tangent import attention_tangent_fwd
 from quantizedattention_tpu.ops.api import (
     flash_attention_bf16,
     sage_attention_int8,
+    sage_attention_int8_inference,
     attention_jvp,
     attention_value_and_jvp,
 )
@@ -39,12 +43,14 @@ __all__ = [
     "flash_attention_fwd",
     "flash_attention_bwd",
     "int8_attention_fwd",
+    "int8_attention_fwd_fused",
     "int8_attention_bwd",
     "attention_jvp_fwd",
     "attention_jvp_bwd",
     "attention_tangent_fwd",
     "flash_attention_bf16",
     "sage_attention_int8",
+    "sage_attention_int8_inference",
     "attention_jvp",
     "attention_value_and_jvp",
 ]

@@ -34,7 +34,10 @@ from jax.custom_transpose import custom_transpose
 from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
 from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
-from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd
+from quantizedattention_tpu.ops.int8_fwd import (
+    int8_attention_fwd,
+    int8_attention_fwd_fused,
+)
 from quantizedattention_tpu.ops.jvp_bwd import attention_jvp_bwd
 from quantizedattention_tpu.ops.jvp_fwd import attention_jvp_fwd
 from quantizedattention_tpu.ops.jvp_tangent import attention_tangent_fwd
@@ -162,6 +165,35 @@ def sage_attention_int8(
         q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
         causal, sm_scale, config,
     )
+
+
+def sage_attention_int8_inference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    smooth_k: bool = True,
+) -> jnp.ndarray:
+    """Forward-only INT8 attention with quantization fused INTO the kernel
+    (VMEM-resident tiles — the reference's own in-kernel structure,
+    attention_int8.py:180-195,241-247): no int8 payload/scale table ever
+    materializes in HBM, eliminating the training path's residual
+    round-trip. Same numerics as sage_attention_int8's forward (bit-equal
+    quantization at the same grain); NOT differentiable — use
+    sage_attention_int8 when gradients are needed.
+
+    smooth_k=True subtracts the per-head K token-mean before quantization
+    (softmax is shift-invariant per row, so no compensation is needed).
+    """
+    if config is None:
+        config = default_block_config("int8", q.shape[2], k.shape[2], q.shape[3])
+    k_mean = jnp.mean(k, axis=-2, keepdims=True) if smooth_k else None
+    o, _ = int8_attention_fwd_fused(
+        q, k, v, causal=causal, sm_scale=sm_scale, config=config, k_sub=k_mean
+    )
+    return o
 
 
 # --------------------------------------------------------------------------

@@ -175,6 +175,259 @@ def _int8_fwd_kernel(
         lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
 
 
+def _int8_fused_kernel(
+    qoff_ref, koff_ref,
+    q_ref, k_ref, v_ref, ksub_ref,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    q_scr, sq_scr, k_scr, v_scr, sk_scr, sv_scr,
+    *, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv, block_sub,
+    reuse_kv, smooth_k,
+):
+    """Inference-mode int8 forward: quantization runs IN-KERNEL on the
+    VMEM-resident tiles (the reference's own structure,
+    attention_int8.py:180-195, 241-247) — no int8 payload or scale table
+    ever materializes in HBM. The training path cannot do this (the
+    backward's residual contract needs the HBM blocks); the serving /
+    fwd-only path has no residuals, so the separate quantize pass's HBM
+    round-trip (read f32 + write i8 + re-read i8) disappears entirely.
+
+    reuse_kv=True (whole padded kv fits the VMEM scratch budget): each KV
+    subtile is quantized exactly once — on the qi==0 visit — into a
+    persistent scratch holding the integer payload in bf16 (exact: |x| <=
+    127 fits bf16's 8-bit mantissa) with per-subtile scales in SMEM; later
+    q-blocks reuse the scratch, so quantization work is O(t), not
+    O(t * num_q_blocks), and K/V HBM reads happen once in ORIGINAL dtype.
+    reuse_kv=False (very long sequences): quantize per (qi, kj) cell into a
+    block-sized scratch — still zero HBM round-trips.
+
+    The qi grid axis is declared "arbitrary" (sequential) when reuse_kv:
+    the scratch carries state from qi==0 to later q-blocks.
+    """
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(kj == 0)
+    def _quant_q():
+        # Q quantizes once per q-block (the tile stays resident across kj —
+        # its block index is kj-invariant); integer payload stored as bf16,
+        # ready for the MXU
+        q_raw = q_ref[0].astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(q_raw)), 1e-12) / 127.0
+        q_scr[...] = jnp.clip(jnp.round(q_raw / sq), -127.0, 127.0).astype(
+            jnp.bfloat16
+        )
+        sq_scr[0] = sq
+
+    q_start = qoff_ref[0] + qi * block_q
+    k_start = koff_ref[0] + kj * block_kv
+    kv_padded = kv_len % block_kv != 0
+    n_sub = block_kv // block_sub
+
+    def _quant_kv(j):
+        # scratch layout: reuse_kv indexes by the GLOBAL subtile, the
+        # per-cell mode by the local one
+        dst = (kj * block_kv + j * block_sub) if reuse_kv else (j * block_sub)
+        row = (kj * n_sub + j) if reuse_kv else j
+        k_raw = k_ref[0, pl.ds(j * block_sub, block_sub), :].astype(jnp.float32)
+        if smooth_k:
+            k_raw = k_raw - ksub_ref[0, 0].astype(jnp.float32)
+        sk = jnp.maximum(jnp.max(jnp.abs(k_raw)), 1e-12) / 127.0
+        k_scr[pl.ds(dst, block_sub), :] = jnp.clip(
+            jnp.round(k_raw / sk), -127.0, 127.0
+        ).astype(jnp.bfloat16)
+        sk_scr[row] = sk
+        v_raw = v_ref[0, pl.ds(j * block_sub, block_sub), :].astype(jnp.float32)
+        sv = jnp.maximum(jnp.max(jnp.abs(v_raw)), 1e-12) / 127.0
+        v_scr[pl.ds(dst, block_sub), :] = jnp.clip(
+            jnp.round(v_raw / sv), -127.0, 127.0
+        ).astype(jnp.bfloat16)
+        sv_scr[row] = sv
+
+    def _compute(j):
+        sub_start = k_start + j * block_sub
+        sub_local = kj * block_kv + j * block_sub
+
+        def _sub_body():
+            src = (kj * block_kv + j * block_sub) if reuse_kv else (j * block_sub)
+            row = (kj * n_sub + j) if reuse_kv else j
+            sq = sq_scr[0]
+            sk = sk_scr[row]
+            sv = sv_scr[row]
+            c = sq * sk * qk_scale  # > 0 (1e-12/127 scale floor)
+
+            qk = jax.lax.dot_general(
+                q_scr[...], k_scr[pl.ds(src, block_sub), :],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # raw-domain scale-aware mask sentinel — see _int8_fwd_kernel
+            if causal or kv_padded:
+                mask = tile_mask(q_start, sub_start, block_q, block_sub,
+                                 kv_len, causal, k_local_start=sub_local)
+                qk = jnp.where(mask, qk, 30000.0 / -c)
+
+            m_prev = m_scr[...][:, :1]
+            row_max = jnp.max(qk, axis=-1, keepdims=True) * c + EPS_BIAS
+            next_m = jnp.maximum(m_prev, row_max)
+            p = jnp.exp2(qk * c - next_m).astype(jnp.bfloat16)
+            alpha = jnp.exp2(m_prev - next_m)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            l_next = l_scr[...][:, :1] * alpha + l_cur
+            pv = jax.lax.dot_general(
+                p, v_scr[pl.ds(src, block_sub), :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[...] = acc_scr[...] * alpha + pv * sv
+            m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+        if causal:
+            pl.when(q_start + block_q - 1 >= sub_start)(_sub_body)
+        else:
+            _sub_body()
+
+    for j in range(n_sub):
+        if reuse_kv:
+            # quantize on the first q-block's visit only — even for
+            # causally-skipped subtiles (later q-blocks will need them)
+            pl.when(qi == 0)(functools.partial(_quant_kv, j))
+        else:
+            _quant_kv(j)
+        _compute(j)
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scr[...][:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[...][:, :1] + jnp.log2(l_safe)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "config", "interpret")
+)
+def int8_attention_fwd_fused(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    config: BlockConfig | None = None,
+    k_sub: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+):
+    """Inference-mode INT8 attention on [b, h, t, d]: quantization fused
+    into the attention kernel itself (VMEM-resident tiles, zero HBM
+    round-trip) — the forward-only counterpart of int8_attention_fwd,
+    which must materialize residuals for the backward. Returns (o, lse).
+
+    k_sub: optional [b, h, 1, d] K-smoothing shift (softmax is invariant to
+    a per-row-constant shift of the logits, so no output compensation is
+    needed — only quantization accuracy improves). Compute it as
+    k.mean(axis=-2, keepdims=True) when K has a large common component.
+    """
+    if interpret is None:
+        interpret = use_interpret_mode()
+    batch, head, q_tokens, head_dim = q.shape
+    kv_len = k.shape[2]
+    if config is None:
+        config = default_block_config("int8", q_tokens, kv_len, head_dim)
+    block_q, block_kv = config.block_q, config.block_kv
+    block_sub = min(config.kv_compute, block_kv)
+    _, qk_scale = qk_scales(head_dim, sm_scale)
+
+    bh = batch * head
+    q3 = pad_tokens(q.reshape(bh, q_tokens, head_dim), block_q, 1)
+    k3 = pad_tokens(k.reshape(bh, kv_len, head_dim), block_kv, 1)
+    v3 = pad_tokens(v.reshape(bh, kv_len, head_dim), block_kv, 1)
+    padded_q, padded_kv = q3.shape[1], k3.shape[1]
+    num_q_blocks = cdiv(padded_q, block_q)
+    num_kv_blocks = cdiv(padded_kv, block_kv)
+
+    # whole-kv scratch reuse when the bf16 payload copies fit a conservative
+    # VMEM budget (the block tiles + accumulators share the same 16 MB)
+    reuse_kv = num_q_blocks > 1 and (2 * padded_kv * head_dim * 2) <= 6 * 1024 * 1024
+    scr_tokens = padded_kv if reuse_kv else block_kv
+    n_scales = scr_tokens // block_sub
+
+    smooth_k = k_sub is not None
+    if smooth_k:
+        ksub3 = k_sub.reshape(bh, 1, head_dim)
+    else:
+        ksub3 = jnp.zeros((bh, 1, head_dim), k3.dtype)
+
+    kernel = functools.partial(
+        _int8_fused_kernel,
+        qk_scale=qk_scale,
+        causal=causal,
+        kv_len=kv_len,
+        num_kv_blocks=num_kv_blocks,
+        block_q=block_q,
+        block_kv=block_kv,
+        block_sub=block_sub,
+        reuse_kv=reuse_kv,
+        smooth_k=smooth_k,
+    )
+
+    qoff = jnp.zeros((1,), jnp.int32)
+    koff = jnp.zeros((1,), jnp.int32)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, head_dim), lambda b, i, j: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, padded_q, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, padded_q), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.bfloat16),
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((scr_tokens, head_dim), jnp.bfloat16),
+            pltpu.VMEM((scr_tokens, head_dim), jnp.bfloat16),
+            pltpu.SMEM((n_scales,), jnp.float32),
+            pltpu.SMEM((n_scales,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # qi must run sequentially under reuse_kv (scratch carries the
+            # quantized payload from qi==0 to later q-blocks)
+            dimension_semantics=(
+                "parallel",
+                "arbitrary" if reuse_kv else "parallel",
+                "arbitrary",
+            ),
+        ),
+        interpret=interpret,
+    )(qoff, koff, q3, k3, v3, ksub3)
+
+    o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
+    lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)
+    return o, lse
+
+
 def quantize_qkv(q, k, v, config: BlockConfig, k_sub=None, interpret: bool | None = None):
     """Per-block int8 quantization of Q/K/V at the kernel's block granularity,
     each tensor in ONE fused Pallas pass (read -> absmax/scale/round in VMEM

@@ -72,15 +72,23 @@ def allgather_kv_attention(q, k, v, axis_name, causal=False, sm_scale=None,
 def _ag_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     idx = jax.lax.axis_index(axis_name)
     t_local = q.shape[2]
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError("q heads must be a multiple of kv heads")
+    rep = q.shape[1] // k.shape[1]
+    # GQA: gather the UNREPEATED kv-group payload (1/rep the ICI bytes) and
+    # repeat locally — mirroring the ring, which rotates unrepeated heads
     k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    if rep > 1:
+        k_full = jnp.repeat(k_full, rep, axis=1)
+        v_full = jnp.repeat(v_full, rep, axis=1)
     if config is None:
         config = default_block_config("bf16", t_local, k_full.shape[2])
     o, lse = flash_attention_fwd(
         q, k_full, v_full, causal=causal, sm_scale=sm_scale, config=config,
         q_offset=idx * t_local, k_offset=0,
     )
-    return o, (q, k_full, v_full, o, lse)
+    return o, (q, k_full, v_full, o, lse, rep)
 
 
 def _ag_fwd(q, k, v, axis_name, causal, sm_scale, config):
@@ -89,7 +97,7 @@ def _ag_fwd(q, k, v, axis_name, causal, sm_scale, config):
 
 
 def _ag_bwd(axis_name, causal, sm_scale, config, res, do):
-    q, k_full, v_full, o, lse = res
+    q, k_full, v_full, o, lse, rep = res
     if config is None:
         config = default_block_config("bf16", q.shape[2], k_full.shape[2])
     idx = jax.lax.axis_index(axis_name)
@@ -98,6 +106,11 @@ def _ag_bwd(axis_name, causal, sm_scale, config, res, do):
         q, k_full, v_full, o, lse, do, causal=causal, sm_scale=sm_scale,
         config=config, q_offset=idx * t_local, k_offset=0, fast=True,
     )
+    if rep > 1:
+        # GQA transpose of the local repeat: sum grads over each kv group
+        b, h, t_full, d = dk_full.shape
+        dk_full = dk_full.reshape(b, h // rep, rep, t_full, d).sum(2)
+        dv_full = dv_full.reshape(b, h // rep, rep, t_full, d).sum(2)
     # each chip holds dK/dV contributions from ITS q shard over the FULL kv
     # length; the true shard gradient is the sum over chips, delivered back
     # to the shard's owner — exactly one reduce-scatter per tensor.
@@ -132,6 +145,11 @@ def _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     batch, head, t_local, head_dim = q.shape
+    if k.shape[1] != head:
+        raise ValueError(
+            "int8 all-gather does not support unrepeated GQA kv heads; "
+            "repeat kv heads before the call or use the int8 ring"
+        )
     if t_local % 128 != 0:
         raise ValueError("int8 all-gather requires t_local % 128 == 0")
     if config is None:

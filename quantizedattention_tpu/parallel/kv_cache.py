@@ -248,14 +248,11 @@ def _decode_kernel(
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_kv", "return_lse", "interpret")
-)
 def decode_attention(
     q: jnp.ndarray,
     cache: QuantizedKVCache,
     sm_scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int | None = None,
     return_lse: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -265,7 +262,31 @@ def decode_attention(
     [b, n_q_heads, d] f32; with return_lse=True also the exp2-domain lse
     [b, n_q_heads] (-inf for rows with no live tokens) — the merge handle
     for sequence-sharded decode (context_sharded_decode).
+
+    block_kv=None (the default — what the serving engine passes) consults
+    the autotune cache for a tuned decode block on this device kind
+    (tune.autotune.autotune_decode / resolve_decode_block), so the
+    tune-then-pin workflow reaches the serving hot path with zero caller
+    changes. Resolution happens at trace time; tune before first call.
     """
+    if block_kv is None:
+        from quantizedattention_tpu.tune.autotune import resolve_decode_block
+
+        block_kv = resolve_decode_block(cache.max_len, q.shape[-1])
+    return _decode_attention(q, cache, sm_scale, block_kv, return_lse, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_kv", "return_lse", "interpret")
+)
+def _decode_attention(
+    q: jnp.ndarray,
+    cache: QuantizedKVCache,
+    sm_scale: float | None = None,
+    block_kv: int = 512,
+    return_lse: bool = False,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
     if interpret is None:
         interpret = use_interpret_mode()
     batch, n_q_heads, head_dim = q.shape
@@ -363,7 +384,7 @@ def context_sharded_decode(
     cache: QuantizedKVCache,
     axis_name: str,
     sm_scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int | None = None,
 ) -> jnp.ndarray:
     """Flash-decoding over a sequence-sharded KV cache — call inside
     shard_map.

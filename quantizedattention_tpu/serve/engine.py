@@ -127,7 +127,13 @@ class ServingEngine:
                 raise ValueError("prefill_chunk must be a multiple of page_size")
         self._pending: dict | None = None  # in-flight chunked prefill
         self._pending_decode_turn = False
-        self._pending_bank = None  # pipelined horizon bank awaiting its fetch
+        # Pipelined host path: every token-producing dispatch (horizon bank,
+        # single decode step, prefill first-token) is enqueued here and
+        # fetched only AFTER the next action has been dispatched, so the
+        # ~26 ms host round-trip through the relay overlaps device work.
+        # FIFO order preserves per-slot token order (a slot's prefill token
+        # always precedes its decode tokens in the queue).
+        self._pending_fetches: list[tuple] = []
         self.temperature = temperature
         self._key = jax.random.key(seed) if temperature > 0.0 else None
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
@@ -317,9 +323,9 @@ class ServingEngine:
             return True
         action, rid, slot = self.sched.next_action()
         if action == IDLE:
-            # drain the pipelined horizon bank before declaring idle (its
-            # tokens may finish requests or free slots)
-            return self._flush_pending_bank()
+            # drain pipelined fetches before declaring idle (their tokens
+            # may finish requests or free slots)
+            return self._flush_pending()
         if action == PREFILL:
             self._do_prefill(rid, slot)
         elif action == DECODE:
@@ -382,12 +388,14 @@ class ServingEngine:
             p["next"] = i + 1
             return
         self._pending = None
-        first = int(tok)
         self._slot_req[slot] = rid
-        self.last_tok = self.last_tok.at[slot].set(first)
+        # first token stays on device (no host fetch): it seeds last_tok
+        # directly and its host-side record is deferred to the next flush
+        self.last_tok = self.last_tok.at[slot].set(tok)
         self.pos = self.pos.at[slot].set(len(prompt))
         self.active = self.active.at[slot].set(True)
-        self._record(slot, first)
+        self._flush_pending()
+        self._pending_fetches.append(("prefill", tok, (slot, rid)))
 
     def _do_prefill(self, rid: int, slot: int):
         prompt = self._prompts[rid]
@@ -439,61 +447,68 @@ class ServingEngine:
             self.params, self.caches, tokens, jnp.int32(len(prompt)), jnp.int32(slot),
             key=self._next_key(),
         )
-        first = int(first_tok)
         self._slot_req[slot] = rid
-        self.last_tok = self.last_tok.at[slot].set(first)
+        # seed last_tok with the DEVICE scalar — no host fetch on this path;
+        # the host-side record is deferred to the next flush (dispatch-
+        # before-fetch, same as the decode banks)
+        self.last_tok = self.last_tok.at[slot].set(first_tok)
         self.pos = self.pos.at[slot].set(len(prompt))
         self.active = self.active.at[slot].set(True)
-        self._record(slot, first)
+        self._flush_pending()
+        self._pending_fetches.append(("prefill", first_tok, (slot, rid)))
 
-    def _flush_pending_bank(self) -> bool:
-        """Record the tokens of the previously dispatched horizon bank."""
-        if self._pending_bank is None:
+    def _flush_pending(self) -> bool:
+        """Fetch + record every previously dispatched token batch, in
+        dispatch order (the fetches overlap whatever was dispatched after
+        them). Returns True if anything was flushed."""
+        if not self._pending_fetches:
             return False
-        bank, owners = self._pending_bank
-        self._pending_bank = None
-        toks = np.asarray(bank)  # the fetch — overlaps the bank dispatched after it
-        for step_toks in toks:
-            for slot, rid in owners:
-                # the slot must still belong to the request it was decoding
-                # when this bank was dispatched (not finished mid-horizon,
-                # not re-admitted to a new request since)
+        entries, self._pending_fetches = self._pending_fetches, []
+        for kind, arr, owners in entries:
+            if kind == "bank":
+                toks = np.asarray(arr)  # [n_steps, n_slots]
+                for step_toks in toks:
+                    for slot, rid in owners:
+                        # the slot must still belong to the request it was
+                        # decoding when this bank was dispatched (not finished
+                        # mid-horizon, not re-admitted to a new request since)
+                        if self._slot_req[slot] == rid:
+                            self._record(slot, int(step_toks[slot]))
+            else:  # "prefill": scalar first token of one admission
+                slot, rid = owners
                 if self._slot_req[slot] == rid:
-                    self._record(slot, int(step_toks[slot]))
+                    self._record(slot, int(arr))
         return True
 
     def _do_decode(self):
         active_before = [i for i in range(self.n_slots) if self._slot_req[i] >= 0]
+        # PIPELINED dispatch-before-fetch on every path: dispatch step/bank
+        # N+1 BEFORE fetching N's tokens, so the host round-trip (~26 ms
+        # through this relay) overlaps the next step's device execution.
+        # EOS/budget bookkeeping lags one action — surplus tokens decoded by
+        # a since-finished slot are discarded at flush (the slot kept
+        # decoding into its own soon-to-be-reset cache, masked by `active`).
         if self.decode_horizon > 1:
             # K chained steps in one jit; ONE host fetch banks K tokens.
-            # Slots that finish mid-horizon have their surplus discarded
-            # (they kept decoding into their own soon-to-be-reset cache).
-            # PIPELINED: dispatch bank N+1 BEFORE fetching bank N's tokens,
-            # so the host round-trip (~26 ms through this relay) overlaps
-            # the next bank's device execution. EOS/budget bookkeeping lags
-            # one bank — surplus tokens are discarded exactly like the
-            # in-bank surplus above.
             bank, self.caches, self.last_tok, self.pos = self._decode_horizon(
                 self.params, self.caches, self.last_tok, self.pos, self.active,
                 key=self._next_key(),
             )
-            self._flush_pending_bank()
-            # the flush may have finished requests that this (already
-            # dispatched) bank is still decoding — exclude them: their bank
-            # rows are surplus
-            owners = [(s, self._slot_req[s]) for s in active_before
-                      if self._slot_req[s] >= 0]
-            self._pending_bank = (bank, owners)
-            return
-        next_tok, self.caches = self._decode(
-            self.params, self.caches, self.last_tok, self.pos, self.active,
-            key=self._next_key(),
-        )
-        toks = np.asarray(next_tok)
-        self.last_tok = next_tok
-        self.pos = self.pos + self.active.astype(jnp.int32)
-        for slot in active_before:
-            self._record(slot, int(toks[slot]))
+        else:
+            next_tok, self.caches = self._decode(
+                self.params, self.caches, self.last_tok, self.pos, self.active,
+                key=self._next_key(),
+            )
+            self.last_tok = next_tok
+            self.pos = self.pos + self.active.astype(jnp.int32)
+            bank = next_tok[None]  # a bank of one step
+        self._flush_pending()
+        # the flush may have finished requests that this (already
+        # dispatched) bank is still decoding — exclude them: their rows
+        # are surplus
+        owners = [(s, self._slot_req[s]) for s in active_before
+                  if self._slot_req[s] >= 0]
+        self._pending_fetches.append(("bank", bank, owners))
 
 
 # ---------------------------------------------------------------------------

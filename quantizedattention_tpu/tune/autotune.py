@@ -96,7 +96,7 @@ def save_config(kind: str, q_tokens: int, kv_tokens: int, head_dim: int,
         json.dump(cache, f, indent=2, sort_keys=True)
 
 
-def _time_one(fn, args, iters: int = 10, n_chain: int = 32) -> float:
+def _time_one(fn, args, iters: int = 10, n_chain: int = 64) -> float:
     """Median per-call seconds of fn(*args).
 
     Chains n_chain data-dependent calls inside one jit and fetches a scalar:
@@ -254,6 +254,21 @@ def autotune_bwd(
     if use_cache:
         save_config(kind, q_tokens, kv_tokens, head_dim, best_cfg)
     return best_cfg, best_t
+
+
+def resolve_decode_block(max_len: int, head_dim: int, default: int = 512) -> int:
+    """block_kv for the decode kernels on this device kind: the tuned winner
+    for (kv=max_len, head_dim) when `autotune_decode` has run, else `default`.
+
+    This is the zero-plumbing leg of the tune-then-pin workflow
+    (reference README.md:57-67): kv_cache.decode_attention and
+    paged-engine init call this when no explicit block is passed, so a
+    sweep immediately reaches the serving hot path. Resolution is a pure
+    host-side (mtime-memoized) file read — call it OUTSIDE jit or at trace
+    time only.
+    """
+    cfg = load_cached_config("decode", 1, max_len, head_dim)
+    return cfg.block_kv if cfg is not None else default
 
 
 def autotune_decode(

@@ -28,8 +28,18 @@ except ImportError:  # pragma: no cover - orbax is in the standard image
     _ocp = None
 
 
+def _is_numpy_dir(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "leaves.npz"))
+
+
 def _is_orbax_dir(path: str) -> bool:
-    return os.path.isdir(path) and not os.path.exists(os.path.join(path, "leaves.npz"))
+    """Positive detection of the Orbax on-disk layout (metadata/manifest
+    markers), so a foreign or partially written directory raises a clear
+    'not a checkpoint' error instead of a confusing Orbax restore failure."""
+    if not os.path.isdir(path):
+        return False
+    markers = ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt", "d")
+    return any(os.path.exists(os.path.join(path, m)) for m in markers)
 
 
 def save_checkpoint(path: str, tree, backend: str = "auto") -> None:
@@ -73,6 +83,11 @@ def load_checkpoint(path: str, like):
 
         ckptr = _ocp.StandardCheckpointer()
         return ckptr.restore(os.path.abspath(path), jax.tree_util.tree_map(abstract, like))
+    if not _is_numpy_dir(path):
+        raise ValueError(
+            f"{path} is not a checkpoint directory (neither Orbax metadata "
+            "nor leaves.npz found)"
+        )
     data = np.load(os.path.join(path, "leaves.npz"))
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     n = len(leaves_like)

@@ -28,13 +28,47 @@ the detect-fast leg and the decide-to-restart signal.
 
 from __future__ import annotations
 
-import concurrent.futures
+import queue
 import threading
 import time
 from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
+
+
+class _ProbeTimeout(Exception):
+    pass
+
+
+def _run_with_deadline(fn, timeout_s: float):
+    """Run fn() on a DAEMON thread; raise _ProbeTimeout after timeout_s.
+
+    Deliberately not a ThreadPoolExecutor: its workers are non-daemon and
+    joined at interpreter exit (and at `with` exit), so a probe wedged in a
+    hung collective would (a) block the timeout from propagating out of the
+    `with` block and (b) prevent the process from ever exiting — exactly
+    wrong for a failure detector whose reaction is checkpoint-then-restart.
+    A daemon thread is abandoned: the worker leaks until process exit, which
+    is the accepted cost of detecting an unrecoverable hang.
+    """
+    q: queue.Queue = queue.Queue(maxsize=1)
+
+    def _runner():
+        try:
+            q.put(("ok", fn()))
+        except Exception as e:  # noqa: BLE001 — relayed to caller
+            q.put(("err", e))
+
+    t = threading.Thread(target=_runner, daemon=True)
+    t.start()
+    try:
+        status, payload = q.get(timeout=timeout_s)
+    except queue.Empty:
+        raise _ProbeTimeout(f"probe exceeded {timeout_s}s deadline") from None
+    if status == "err":
+        raise payload
+    return payload
 
 
 def device_heartbeat(device=None) -> float:
@@ -76,15 +110,15 @@ def hosts_alive(timeout_s: float = 60.0) -> int:
         total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(ones)
         return int(total)
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(_probe)
-        try:
-            devices_seen = fut.result(timeout=timeout_s)
-        except concurrent.futures.TimeoutError as e:
-            raise TimeoutError(
-                f"hosts_alive: collective did not complete within {timeout_s}s "
-                f"— at least one of {n_proc} hosts is unreachable"
-            ) from e
+    try:
+        devices_seen = _run_with_deadline(_probe, timeout_s)
+    except _ProbeTimeout as e:
+        # the probe thread is wedged in the hung collective; it is a daemon
+        # thread, so raising here neither joins it nor blocks process exit
+        raise TimeoutError(
+            f"hosts_alive: collective did not complete within {timeout_s}s "
+            f"— at least one of {n_proc} hosts is unreachable"
+        ) from e
     return n_proc if devices_seen == jax.device_count() else devices_seen
 
 
@@ -108,7 +142,6 @@ class Watchdog:
         self._on_failure = on_failure
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         self.failures: list[FailureEvent] = []
         self.probes_ok = 0
         self.last_latency_s: float | None = None
@@ -121,13 +154,12 @@ class Watchdog:
     def _loop(self):
         while not self._stop.is_set():
             t0 = time.perf_counter()
-            fut = self._pool.submit(self._probe)
             try:
-                out = fut.result(timeout=self._timeout)
+                out = _run_with_deadline(self._probe, self._timeout)
                 self.last_latency_s = out if isinstance(out, float) else (
                     time.perf_counter() - t0)
                 self.probes_ok += 1
-            except concurrent.futures.TimeoutError:
+            except _ProbeTimeout:
                 self._fail(FailureEvent(
                     "probe_timeout",
                     f"probe exceeded {self._timeout}s deadline",
@@ -151,7 +183,6 @@ class Watchdog:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=self._timeout + 1.0)
-        self._pool.shutdown(wait=False)
 
     def __enter__(self):
         return self.start()
@@ -185,11 +216,19 @@ class StepGuard:
     def __call__(self, *args, **kwargs):
         t0 = time.perf_counter()
         out = self._fn(*args, **kwargs)
-        # force completion so the duration covers device execution, not
-        # just dispatch (async dispatch would hide a wedged collective)
-        for leaf in jax.tree_util.tree_leaves(out):
-            if hasattr(leaf, "block_until_ready"):
-                leaf.block_until_ready()
+        # Force completion with a DATA-DEPENDENT SCALAR FETCH, not
+        # block_until_ready: on relay-backed runtimes (axon) block_until_ready
+        # returns once the work is ENQUEUED, not executed — it would time
+        # dispatch and miss exactly the wedged-step case this guard exists
+        # for (CLAUDE.md environment rules). Summing every array leaf into
+        # one scalar makes the host fetch depend on all device results.
+        leaves = [leaf for leaf in jax.tree_util.tree_leaves(out)
+                  if hasattr(leaf, "dtype")]
+        if leaves:
+            total = jnp.zeros((), jnp.float32)
+            for leaf in leaves:
+                total = total + jnp.sum(leaf).astype(jnp.float32)
+            float(total)  # blocks until every contributing step result exists
         dt = time.perf_counter() - t0
         if len(self.durations) >= self._warmup and dt > self._factor * self._median():
             ev = FailureEvent(

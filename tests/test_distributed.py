@@ -484,6 +484,63 @@ def test_pod_mesh_dcn_train_step(rng):
     assert abs(float(loss) - float(want)) < 2e-2
 
 
+@pytest.mark.parametrize("attention", ["bf16", "int8"])
+def test_train_step_attention_sp_allgather_parity(rng, attention):
+    """attention_sp='allgather' optimizes the same objective as the default
+    ring: one step from identical params yields the same loss and params
+    within kernel tolerance (round-2 verdict weak #6 / next #8 — the
+    all-gather SP path existed only as a library function)."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, init_transformer, make_sharded_train_step,
+    )
+
+    mesh = make_attention_mesh(data=2, model=2, context=2)
+    cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=2, n_kv_heads=2,
+                            head_dim=64, n_layers=1, max_seq=256)
+    params = init_transformer(rng, cfg)
+    tokens = jax.random.randint(jax.random.key(3), (4, 256), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    optimizer, step_ring = make_sharded_train_step(mesh, cfg, attention=attention)
+    _, step_ag = make_sharded_train_step(
+        mesh, cfg, attention=attention, attention_sp="allgather"
+    )
+    opt0 = optimizer.init(params)
+    p_ring, _, loss_ring = step_ring(params, opt0, tokens, targets)
+    p_ag, _, loss_ag = step_ag(params, opt0, tokens, targets)
+    tol = 2e-3 if attention == "bf16" else 1e-2
+    assert abs(float(loss_ring) - float(loss_ag)) < tol
+    for a, b in zip(jax.tree_util.tree_leaves(p_ring),
+                    jax.tree_util.tree_leaves(p_ag)):
+        assert jnp.max(jnp.abs(a - b)) < 5e-2
+
+
+def test_train_step_gqa_allgather_parity(rng):
+    """GQA (kv groups) through the all-gather SP path: the unrepeated-head
+    gather + local repeat and the group-summed dK/dV reduce-scatter match
+    the ring step."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, init_transformer, make_sharded_train_step,
+    )
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=4, n_kv_heads=2,
+                            head_dim=32, n_layers=1, max_seq=512)
+    params = init_transformer(rng, cfg)
+    tokens = jax.random.randint(jax.random.key(5), (2, 512), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    optimizer, step_ring = make_sharded_train_step(mesh, cfg)
+    _, step_ag = make_sharded_train_step(mesh, cfg, attention_sp="allgather")
+    opt0 = optimizer.init(params)
+    p_ring, _, loss_ring = step_ring(params, opt0, tokens, targets)
+    p_ag, _, loss_ag = step_ag(params, opt0, tokens, targets)
+    assert abs(float(loss_ring) - float(loss_ag)) < 2e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p_ring),
+                    jax.tree_util.tree_leaves(p_ag)):
+        assert jnp.max(jnp.abs(a - b)) < 5e-2
+
+
 def test_initialize_multihost_single_process():
     """Auto-detect path: no cluster env -> clean single-process no-op (and
     idempotent on repeat calls)."""

@@ -89,3 +89,40 @@ def test_int8_cross_lengths(rng):
     want = reference_attention(q, k, v)
     rep = mismatch_report("int8 cross", o, want, atol=5e-2)
     assert rep.mismatch_rate <= 2e-3, rep
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_inference_forward_matches_materialized(rng, causal):
+    """int8_attention_fwd_fused (in-kernel quantization, no HBM residuals)
+    must be BIT-IDENTICAL to the materialized training forward: same
+    absmax/127 rule at the same block grain, just computed on VMEM-resident
+    tiles (round-2 verdict missing #2)."""
+    from quantizedattention_tpu import int8_attention_fwd_fused
+
+    q, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=2048)
+    o_f, lse_f = int8_attention_fwd_fused(q, k, v, causal=causal)
+    o_m, lse_m, _ = int8_attention_fwd(q, k, v, causal=causal)
+    assert float(jnp.max(jnp.abs(o_f - o_m))) == 0.0
+    assert float(jnp.max(jnp.abs(lse_f - lse_m))) == 0.0
+
+
+def test_fused_inference_cross_lengths_and_smoothing(rng):
+    from quantizedattention_tpu import (
+        int8_attention_fwd_fused,
+        sage_attention_int8_inference,
+    )
+
+    q, k, v, _ = make_qkv(rng, q_tokens=128, kv_tokens=384)
+    o, _ = int8_attention_fwd_fused(q, k, v)
+    want = reference_attention(q, k, v)
+    rep = mismatch_report("int8 fused cross", o, want, atol=5e-2)
+    assert rep.mismatch_rate <= 2e-3, rep
+
+    # public wrapper with K-smoothing: a large common K component must not
+    # blow up the quantization error (softmax shift invariance means no
+    # output compensation is needed)
+    k_shift = k + 8.0
+    o_s = sage_attention_int8_inference(q, k_shift, v)
+    want_s = reference_attention(q, k_shift, v)
+    rep_s = mismatch_report("int8 fused smoothed", o_s, want_s, atol=5e-2)
+    assert rep_s.mismatch_rate <= 2e-3, rep_s

@@ -56,6 +56,46 @@ def test_pipeline_training_reduces_loss(setup):
     assert losses[-1] < losses[0]
 
 
+def test_pipeline_grads_match_single_device(setup):
+    """Gradient parity, not just loss parity: jax.grad of the pipelined
+    loss (cond-guarded bubbles, per-tick embedding, in-loop last-stage
+    loss) must match jax.grad of the single-device lm_loss — in particular
+    the replicated embed/unembed grads must come out UNSCALED by the stage
+    count (each is touched by exactly one stage's compute path)."""
+    cfg, params, mesh, tokens, targets = setup
+    from quantizedattention_tpu.models.pipeline import stack_layers
+
+    opt, step, prepare = make_pipeline_train_step(mesh, cfg, n_microbatches=4)
+    pparams = prepare(params)
+    # reach the raw loss through one value_and_grad of the same step fn the
+    # public API uses: re-derive grads by finite parity against lm_loss grads
+    grads_want = jax.grad(
+        lambda p: lm_loss(p, tokens, targets, cfg)
+    )(params)
+    want_stacked = {
+        "embed": grads_want["embed"],
+        "unembed": grads_want["unembed"],
+        "final_norm": grads_want["final_norm"],
+        "layers": stack_layers(grads_want),
+    }
+
+    import optax
+
+    sgd = optax.sgd(1.0)  # update == -grad, so params_before - params_after == grad
+    opt2, step2, prepare2 = make_pipeline_train_step(
+        mesh, cfg, n_microbatches=4, optimizer=sgd
+    )
+    new_params, _, _ = step2(pparams, sgd.init(pparams), tokens, targets)
+    got = jax.tree_util.tree_map(lambda a, b: a - b, pparams, new_params)
+    flat_got = jax.tree_util.tree_leaves(got)
+    flat_want = jax.tree_util.tree_leaves(want_stacked)
+    assert len(flat_got) == len(flat_want)
+    for g, w in zip(flat_got, flat_want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-3, rtol=0
+        )
+
+
 def test_pipeline_rejects_bad_stage_split(setup):
     cfg, params, mesh, tokens, targets = setup
     bad = TransformerConfig(
