@@ -57,6 +57,7 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
         allgather_kv_attention,
         allgather_kv_attention_int8,
     )
+    from quantizedattention_tpu.parallel.ulysses import ulysses_attention
     n_model = jax.lax.axis_size("model")
     ctx_idx = jax.lax.axis_index("context")
     b_loc, t_loc = tokens.shape
@@ -77,6 +78,9 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
         if attention_sp == "ring":
             o = ring_attention(q, k, v, "context", causal=True, config=config,
                                kind=attention)
+        elif attention_sp == "ulysses":
+            o = ulysses_attention(q, k, v, "context", causal=True,
+                                  config=config, kind=attention)
         elif attention == "int8":
             # the int8 all-gather path needs repeated heads (see collective)
             rep = h_loc // kv_loc
@@ -104,7 +108,7 @@ def make_sharded_train_step(
     optimizer=None,
     attention_config: BlockConfig | None = None,
     attention: str = "bf16",
-    attention_sp: str = "ring",
+    attention_sp: str = "auto",
 ):
     """Returns (optimizer, step) with step: (params, opt_state, tokens,
     targets) -> (params, opt_state, loss). tokens/targets are global
@@ -114,11 +118,12 @@ def make_sharded_train_step(
     strategy; "int8" moves quantized KV + scales over ICI in forward AND
     backward. GQA (n_kv_heads < n_heads) repeats kv heads per shard.
 
-    attention_sp: "ring" (default — ppermute hops overlapped with compute;
-    best at long per-shard sequences) or "allgather" (K/V shards all-gather
-    up front, dK/dV reduce-scatter home; best when per-hop latency
-    dominates — short sequences / small shards, see parallel/collective.py
-    and the analytic model in bench_scaling.py).
+    attention_sp: "auto" (default — the analytic ICI/FLOPs model in
+    parallel/scaling_model.py picks the predicted-faster strategy for this
+    cfg + mesh), "ring" (ppermute hops overlapped with compute; best at
+    long per-shard sequences), or "allgather" (K/V shards all-gather up
+    front, dK/dV reduce-scatter home; best when per-hop latency dominates
+    — short sequences / small shards, see parallel/collective.py).
     """
     import optax
 
@@ -132,8 +137,29 @@ def make_sharded_train_step(
         raise ValueError("n_heads must be a multiple of n_kv_heads")
     if attention not in ("bf16", "int8"):
         raise ValueError(f"unknown attention kind {attention!r}")
-    if attention_sp not in ("ring", "allgather"):
+    if attention_sp not in ("auto", "ring", "allgather", "ulysses"):
         raise ValueError(f"unknown attention_sp {attention_sp!r}")
+    n_ctx = int(mesh.shape["context"])
+    n_model = int(mesh.shape["model"])
+    h_loc = cfg.n_heads // n_model
+    kv_loc = cfg.n_kv_heads // n_model
+    if attention_sp == "ulysses" and (h_loc % n_ctx or kv_loc % n_ctx):
+        raise ValueError(
+            f"attention_sp='ulysses' needs per-shard head counts divisible "
+            f"by the context axis ({h_loc}/{kv_loc} heads, context={n_ctx})"
+        )
+    if attention_sp == "auto":
+        from quantizedattention_tpu.parallel.scaling_model import best_sp_variant
+
+        attention_sp = best_sp_variant(
+            h=h_loc,
+            h_kv=kv_loc,
+            t_local=max(128, cfg.max_seq // max(1, n_ctx)),
+            d=cfg.head_dim,
+            n=n_ctx,
+            kind=attention,
+            allow_ulysses=(h_loc % n_ctx == 0 and kv_loc % n_ctx == 0),
+        ) if n_ctx > 1 else "ring"
 
     specs = param_specs(cfg)
     tok_spec = P("data", "context")

@@ -341,8 +341,16 @@ def int8_attention_fwd_fused(
     kv_len = k.shape[2]
     if config is None:
         config = default_block_config("int8", q_tokens, kv_len, head_dim)
-    block_q, block_kv = config.block_q, config.block_kv
-    block_sub = min(config.kv_compute, block_kv)
+    block_q = config.block_q
+    # The DMA block is capped at the quantization grain: the persistent
+    # quantized scratch replaces the big-resident-tile trick (the f32 input
+    # tiles at block_kv=4096+ double-buffered blow the 16 MB scoped-vmem
+    # budget — measured OOM at (4,16,4096,64): 19.06M > 16M), and the
+    # frozen index maps below stop re-DMA after qi==0 anyway. The grain
+    # itself is unchanged, so outputs stay bit-identical to the
+    # materialized forward.
+    block_sub = min(config.kv_compute, config.block_kv)
+    block_kv = min(config.block_kv, max(block_sub, 1024))
     _, qk_scale = qk_scales(head_dim, sm_scale)
 
     bh = batch * head
@@ -381,6 +389,16 @@ def int8_attention_fwd_fused(
     qoff = jnp.zeros((1,), jnp.int32)
     koff = jnp.zeros((1,), jnp.int32)
 
+    if reuse_kv:
+        # after qi==0 has quantized everything into scratch, K/V tiles are
+        # never read again — freeze their block index so the pipeline stops
+        # DMAing them (one redundant block-0 fetch per q-block remains)
+        def kv_map(b, i, j):
+            return (b, jnp.where(i == 0, j, 0), 0)
+    else:
+        def kv_map(b, i, j):
+            return (b, j, 0)
+
     o, lse = pl.pallas_call(
         kernel,
         grid=(bh, num_q_blocks, num_kv_blocks),
@@ -388,8 +406,8 @@ def int8_attention_fwd_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_kv, head_dim), kv_map),
+            pl.BlockSpec((1, block_kv, head_dim), kv_map),
             pl.BlockSpec((1, 1, head_dim), lambda b, i, j: (b, 0, 0)),
         ],
         out_specs=[

@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from quantizedattention_tpu.ops.api import flash_attention_bf16, sage_attention_int8
@@ -38,6 +39,11 @@ def ulysses_attention(
 
     q/k/v: local sequence shards [b, h, t_local, d]. Returns the local O
     shard. Differentiable for both kinds.
+
+    GQA: k/v may carry UNREPEATED kv heads (h a multiple of h_kv, both
+    divisible by the axis size) — only the kv-group payload rides the
+    all-to-alls; heads repeat locally after the swap, and plain AD
+    group-sums the repeat's transpose on the way back.
     """
     fn = _KINDS[kind]
 
@@ -47,7 +53,13 @@ def ulysses_attention(
     def swap_out(x):  # [b, h/n, t, d] -> [b, h, t_loc, d]
         return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1, tiled=True)
 
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError("q heads must be a multiple of kv heads")
     q, k, v = swap_in(q), swap_in(k), swap_in(v)
+    rep = q.shape[1] // k.shape[1]
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     o = fn(q, k, v, causal=causal, sm_scale=sm_scale, config=config)
     return swap_out(o)
 

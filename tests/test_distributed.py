@@ -501,7 +501,9 @@ def test_train_step_attention_sp_allgather_parity(rng, attention):
     tokens = jax.random.randint(jax.random.key(3), (4, 256), 0, cfg.vocab_size)
     targets = jnp.roll(tokens, -1, axis=1)
 
-    optimizer, step_ring = make_sharded_train_step(mesh, cfg, attention=attention)
+    optimizer, step_ring = make_sharded_train_step(
+        mesh, cfg, attention=attention, attention_sp="ring"
+    )
     _, step_ag = make_sharded_train_step(
         mesh, cfg, attention=attention, attention_sp="allgather"
     )
@@ -530,7 +532,7 @@ def test_train_step_gqa_allgather_parity(rng):
     tokens = jax.random.randint(jax.random.key(5), (2, 512), 0, cfg.vocab_size)
     targets = jnp.roll(tokens, -1, axis=1)
 
-    optimizer, step_ring = make_sharded_train_step(mesh, cfg)
+    optimizer, step_ring = make_sharded_train_step(mesh, cfg, attention_sp="ring")
     _, step_ag = make_sharded_train_step(mesh, cfg, attention_sp="allgather")
     opt0 = optimizer.init(params)
     p_ring, _, loss_ring = step_ring(params, opt0, tokens, targets)
@@ -549,3 +551,54 @@ def test_initialize_multihost_single_process():
     initialize_multihost()
     initialize_multihost()
     assert len(jax.devices()) >= 1
+
+
+def test_train_step_attention_sp_ulysses_parity(rng):
+    """attention_sp='ulysses' (all-to-all head<->seq re-shard, GQA payload
+    unrepeated on the wire) optimizes the same objective as the ring — the
+    analytic model (parallel/scaling_model.py) predicts it as the best
+    causal strategy when heads divide, so its train-step path needs the
+    same parity pinning."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, init_transformer, make_sharded_train_step,
+    )
+
+    mesh = make_attention_mesh(data=2, model=1, context=2)
+    cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=4, n_kv_heads=2,
+                            head_dim=32, n_layers=1, max_seq=256)
+    params = init_transformer(rng, cfg)
+    tokens = jax.random.randint(jax.random.key(9), (4, 256), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    optimizer, step_ring = make_sharded_train_step(mesh, cfg, attention_sp="ring")
+    _, step_uly = make_sharded_train_step(mesh, cfg, attention_sp="ulysses")
+    opt0 = optimizer.init(params)
+    p_ring, _, loss_ring = step_ring(params, opt0, tokens, targets)
+    p_uly, _, loss_uly = step_uly(params, opt0, tokens, targets)
+    assert abs(float(loss_ring) - float(loss_uly)) < 2e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p_ring),
+                    jax.tree_util.tree_leaves(p_uly)):
+        assert jnp.max(jnp.abs(a - b)) < 5e-2
+
+
+def test_train_step_attention_sp_auto_resolves(rng):
+    """attention_sp='auto' (the default) resolves via the analytic model and
+    produces a working step; 'ulysses' with indivisible heads raises."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, init_transformer, make_sharded_train_step,
+    )
+
+    mesh = make_attention_mesh(data=2, model=1, context=2)
+    cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=4, n_kv_heads=4,
+                            head_dim=32, n_layers=1, max_seq=256)
+    params = init_transformer(rng, cfg)
+    tokens = jax.random.randint(jax.random.key(11), (4, 256), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+    optimizer, step = make_sharded_train_step(mesh, cfg)  # auto
+    _, _, loss = step(params, optimizer.init(params), tokens, targets)
+    assert jnp.isfinite(loss)
+
+    bad = TransformerConfig(vocab_size=64, d_model=96, n_heads=3, n_kv_heads=3,
+                            head_dim=32, n_layers=1, max_seq=256)
+    with pytest.raises(ValueError, match="divisible"):
+        make_sharded_train_step(mesh, bad, attention_sp="ulysses")

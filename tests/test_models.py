@@ -130,7 +130,10 @@ def test_dit_rcm_training_grad(rng):
 
     def loss_ref(params):
         ref_attn = lambda q, k, v: reference_attention(q, k, v, causal=False)
-        dx_dt = dit_forward(params, x, t, cfg, attention=ref_attn)
+        # stop-gradient on the prepass matches dit_jvp_step's rCM objective
+        # (the tangent direction is data — advisor round-2 fix)
+        dx_dt = jax.lax.stop_gradient(
+            dit_forward(params, x, t, cfg, attention=ref_attn))
         u, dudt = jax.jvp(
             lambda x_, t_: dit_forward(params, x_, t_, cfg, attention=ref_attn),
             (x, t), (dx_dt, jnp.ones_like(t)),
