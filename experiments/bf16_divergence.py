@@ -127,6 +127,10 @@ def oracle_attention(q, k, v, causal=False):
 
 ARMS = {
     # arm name -> attention callable (q, k, v) -> o, causal fixed True
+    # control: exact f32 attention (no bf16 rounding anywhere) — separates
+    # precision-induced divergence from plain optimizer instability
+    "f32-exact": lambda q, k, v: oracle_attention(q, k, v, causal=True
+                                                  ).astype(jnp.float32),
     "kernel-none": lambda q, k, v: flash_attention_bf16(q, k, v, causal=True,
                                                         correction="none"),
     "kernel-eps": lambda q, k, v: flash_attention_bf16(q, k, v, causal=True,
@@ -262,12 +266,12 @@ def lm_loss(params, seq, attention_fn, n_heads=2, head_dim=64):
     return jnp.mean(nll)
 
 
-def train_arm(name, steps=400, lr=1e-2, seed=0):
+def train_arm(name, steps=400, lr=1e-2, seed=0, t=256):
     """Adam training; returns (loss_trace, gnorm_trace) fetched once."""
     import optax
 
     attention_fn = ARMS[name]
-    params = init_lm(jax.random.key(seed))
+    params = init_lm(jax.random.key(seed), t=t)
     opt = optax.adam(lr)
 
     @jax.jit
@@ -275,7 +279,7 @@ def train_arm(name, steps=400, lr=1e-2, seed=0):
         def step(carry, i):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            seq = make_batch(sub)
+            seq = make_batch(sub, t=t)
             loss, grads = jax.value_and_grad(lm_loss)(params, seq, attention_fn)
             gnorm = optax.global_norm(grads)
             updates, opt_state = opt.update(grads, opt_state)
@@ -295,19 +299,28 @@ def train_arm(name, steps=400, lr=1e-2, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--arms", default="")  # comma-separated subset
     ap.add_argument("--out", default="docs/bf16_divergence_results.json")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-micro", action="store_true")
     args = ap.parse_args()
 
-    results = {"micro": micro_bias()}
-    print("micro (max |O - O_f32hi| on the tied row):")
-    for k_, v_ in results["micro"].items():
-        print(f"  {k_}: {v_}")
+    results = {}
+    if not args.skip_micro:
+        results["micro"] = micro_bias()
+        print("micro (max |O - O_f32hi| on the tied row):")
+        for k_, v_ in results["micro"].items():
+            print(f"  {k_}: {v_}")
 
     if not args.skip_train:
-        results["train"] = {}
-        for name in ARMS:
-            losses, gnorms = train_arm(name, steps=args.steps)
+        results["train"] = {"steps": args.steps, "seq": args.seq, "lr": args.lr}
+        arms = [a for a in args.arms.split(",") if a] or list(ARMS)
+        for name in arms:
+            losses, gnorms = train_arm(name, steps=args.steps, lr=args.lr,
+                                       t=args.seq, seed=args.seed)
             last = losses[-20:]
             results["train"][name] = {
                 "loss_first20_mean": float(losses[:20].mean()),

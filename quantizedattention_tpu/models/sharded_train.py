@@ -58,12 +58,22 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
         allgather_kv_attention_int8,
     )
     from quantizedattention_tpu.parallel.ulysses import ulysses_attention
+    from quantizedattention_tpu.parallel.zigzag import (
+        zigzag_local_positions,
+        zigzag_ring_attention,
+    )
     n_model = jax.lax.axis_size("model")
+    n_ctx = jax.lax.axis_size("context")
     ctx_idx = jax.lax.axis_index("context")
     b_loc, t_loc = tokens.shape
     h_loc = cfg.n_heads // n_model
     kv_loc = cfg.n_kv_heads // n_model
-    positions = ctx_idx * t_loc + jnp.arange(t_loc)
+    if attention_sp == "zigzag":
+        # local tokens are the zigzag (lo, hi) chunk pair — RoPE positions
+        # follow the global permutation (the step permutes tokens/targets)
+        positions = zigzag_local_positions(ctx_idx, n_ctx, t_loc)
+    else:
+        positions = ctx_idx * t_loc + jnp.arange(t_loc)
 
     x = params["embed"][tokens]
     for layer in params["layers"]:
@@ -81,6 +91,8 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
         elif attention_sp == "ulysses":
             o = ulysses_attention(q, k, v, "context", causal=True,
                                   config=config, kind=attention)
+        elif attention_sp == "zigzag":
+            o = zigzag_ring_attention(q, k, v, "context", config=config)
         elif attention == "int8":
             # the int8 all-gather path needs repeated heads (see collective)
             rep = h_loc // kv_loc
@@ -120,10 +132,13 @@ def make_sharded_train_step(
 
     attention_sp: "auto" (default — the analytic ICI/FLOPs model in
     parallel/scaling_model.py picks the predicted-faster strategy for this
-    cfg + mesh), "ring" (ppermute hops overlapped with compute; best at
-    long per-shard sequences), or "allgather" (K/V shards all-gather up
-    front, dK/dV reduce-scatter home; best when per-hop latency dominates
-    — short sequences / small shards, see parallel/collective.py).
+    cfg + mesh), "ring" (contiguous shards, ppermute hops overlapped with
+    compute), "zigzag" (striped shards — the causal ring without its
+    last-rank load imbalance; the step permutes tokens/targets once),
+    "ulysses" (all-to-all head<->seq; balanced causal work, needs heads
+    divisible by the context axis), or "allgather" (K/V shards all-gather
+    up front, dK/dV reduce-scatter home; best when per-hop latency
+    dominates — short sequences / small shards).
     """
     import optax
 
@@ -137,7 +152,7 @@ def make_sharded_train_step(
         raise ValueError("n_heads must be a multiple of n_kv_heads")
     if attention not in ("bf16", "int8"):
         raise ValueError(f"unknown attention kind {attention!r}")
-    if attention_sp not in ("auto", "ring", "allgather", "ulysses"):
+    if attention_sp not in ("auto", "ring", "allgather", "ulysses", "zigzag"):
         raise ValueError(f"unknown attention_sp {attention_sp!r}")
     n_ctx = int(mesh.shape["context"])
     n_model = int(mesh.shape["model"])
@@ -147,6 +162,10 @@ def make_sharded_train_step(
         raise ValueError(
             f"attention_sp='ulysses' needs per-shard head counts divisible "
             f"by the context axis ({h_loc}/{kv_loc} heads, context={n_ctx})"
+        )
+    if attention_sp == "zigzag" and attention == "int8":
+        raise ValueError(
+            "attention_sp='zigzag' currently runs the bf16 kernels only"
         )
     if attention_sp == "auto":
         from quantizedattention_tpu.parallel.scaling_model import best_sp_variant
@@ -159,6 +178,9 @@ def make_sharded_train_step(
             n=n_ctx,
             kind=attention,
             allow_ulysses=(h_loc % n_ctx == 0 and kv_loc % n_ctx == 0),
+            allow_zigzag=(attention == "bf16"
+                          and cfg.max_seq % (2 * n_ctx) == 0
+                          and (cfg.max_seq // (2 * n_ctx)) % 128 == 0),
         ) if n_ctx > 1 else "ring"
 
     specs = param_specs(cfg)
@@ -183,6 +205,15 @@ def make_sharded_train_step(
 
     @jax.jit
     def step(params, opt_state, tokens, targets):
+        if attention_sp == "zigzag":
+            # re-order the GLOBAL sequence so contiguous context shards hold
+            # zigzag (lo, hi) chunk pairs; the per-token mean loss is
+            # permutation-invariant (targets move with their tokens)
+            from quantizedattention_tpu.parallel.zigzag import zigzag_perm
+
+            zp = zigzag_perm(n_ctx, tokens.shape[1])
+            tokens = tokens[:, zp]
+            targets = targets[:, zp]
         loss, grads = jax.value_and_grad(sharded_loss)(params, tokens, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -19,6 +19,11 @@ from quantizedattention_tpu.parallel.multihost import initialize_multihost, make
 from quantizedattention_tpu.parallel.sharded import make_sharded_attention
 from quantizedattention_tpu.parallel.ring import ring_attention, make_ring_attention, ring_attention_jvp
 from quantizedattention_tpu.parallel.ulysses import ulysses_attention, make_ulysses_attention
+from quantizedattention_tpu.parallel.zigzag import (
+    zigzag_local_positions,
+    zigzag_perm,
+    zigzag_ring_attention,
+)
 from quantizedattention_tpu.parallel.collective import (
     allgather_kv_attention,
     allgather_kv_attention_int8,
@@ -45,6 +50,9 @@ from quantizedattention_tpu.parallel.kv_cache import (
 )
 
 __all__ = [
+    "zigzag_ring_attention",
+    "zigzag_perm",
+    "zigzag_local_positions",
     "make_attention_mesh",
     "initialize_multihost",
     "make_pod_mesh",

@@ -171,7 +171,36 @@ def ulysses_cost(w: SPWorkload) -> StepCost:
     )
 
 
-COSTS = {"ring": ring_cost, "allgather": allgather_cost, "ulysses": ulysses_cost}
+def zigzag_cost(w: SPWorkload) -> StepCost:
+    """parallel/zigzag.py: the striped causal ring. Same wire traffic as the
+    contiguous ring (the two-chunk kv pair totals t_local tokens per hop;
+    bwd adds the f32 dk/dv pair rotations), but causal work is BALANCED:
+    every rank computes exactly 2n+1 half-hop [c x c] pieces, i.e.
+    (2n+1)/(2n) of the ideal balanced causal FLOPs. Non-causal degenerates
+    to the plain ring."""
+    if not w.causal:
+        return ring_cost(w)
+    shard = w.b * w.h_kv * w.t_local * w.d
+    ici_fwd = (w.n - 1) * 2 * shard * w.kv_elt_bytes
+    ici_bwd = (w.n - 1) * 2 * shard * w.kv_elt_bytes + w.n * 2 * shard * 4.0
+    # exactly the ideal balanced causal work (2 diagonal halves + 2n-1 full
+    # [c x c] pieces = 2n*c^2 pair units) — expressed with the same
+    # (1 + 1/n) diagonal convention predict_step's ideal uses, so the
+    # efficiency reflects only communication exposure
+    flops_fwd = _hop_flops(w) * w.n * 0.5 * (1.0 + 1.0 / w.n)
+    return StepCost(
+        flops_fwd=flops_fwd,
+        flops_bwd=_BWD_FLOPS_FACTOR * flops_fwd if w.train else 0.0,
+        ici_fwd=ici_fwd,
+        ici_bwd=ici_bwd if w.train else 0.0,
+        hops_fwd=w.n - 1,
+        hops_bwd=2 * w.n - 1 if w.train else 0,
+        overlapped=True,
+    )
+
+
+COSTS = {"ring": ring_cost, "allgather": allgather_cost, "ulysses": ulysses_cost,
+         "zigzag": zigzag_cost}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -237,6 +266,7 @@ def best_sp_variant(
     kind: str = "bf16",
     causal: bool = True,
     allow_ulysses: bool = True,
+    allow_zigzag: bool = True,
 ) -> str:
     """Predicted-best TRAIN-STEP strategy among those the train step can use
     ("ring" | "allgather" | "ulysses" — models/sharded_train.py's
@@ -256,5 +286,7 @@ def best_sp_variant(
     cands = ["ring", "allgather"]
     if allow_ulysses and n <= h_kv and h % n == 0 and h_kv % n == 0:
         cands.append("ulysses")
+    if allow_zigzag and causal and kind == "bf16":
+        cands.append("zigzag")
     preds = {v: predict_step(w, v) for v in cands}
     return min(preds, key=lambda v: preds[v].t_step_s)

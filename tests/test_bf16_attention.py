@@ -96,3 +96,35 @@ def test_correction_engages_on_tied_logits(rng):
     # (every bf16 P lands below 1.0) — the error stays bounded, not exploding.
     assert rep.mismatch_rate <= 1e-2, rep
     assert rep.max_abs_err <= 0.1, rep
+
+
+def test_tied_max_corrections_at_extreme_logits(rng):
+    """The corrections at the logit scale where they differ (measured study:
+    docs/BF16_CORRECTION.md). A row attending 8 EXACTLY tied keys at
+    exp2-domain logit ~200: "eps" (ulp bias) keeps every P in (0.99, 1.0)
+    and recovers the tie-average output; the reference's "beta" rule
+    amplifies the max to ~400, so every P underflows f32, the row's mass
+    vanishes, and the output collapses to 0 — the underflow hazard BETA=2
+    carries at large logits (the reference's own comment says BETA=8
+    overflows, attention_bf16.py:146-147)."""
+    from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+
+    d, t = 64, 128
+    q, k, v, _ = make_qkv(rng, batch=1, head=1, q_tokens=t)
+    u = jnp.ones((d,), jnp.float32) / jnp.sqrt(1.0 * d)
+    amp = jnp.sqrt(200.0 * jnp.sqrt(1.0 * d) / 1.4426950408889634)
+    q = q.at[0, 0, -1].set(u * amp)
+    k = k.at[0, 0, :8].set(jnp.broadcast_to(u * amp, (8, d)))
+
+    want_row = jnp.mean(v[0, 0, :8], axis=0)  # uniform over the exact ties
+
+    o_eps, lse_eps = flash_attention_fwd(q, k, v, correction="eps")
+    o_none, _ = flash_attention_fwd(q, k, v, correction="none")
+    o_beta, lse_beta = flash_attention_fwd(q, k, v, correction="beta")
+
+    assert float(jnp.max(jnp.abs(o_eps[0, 0, -1] - want_row))) < 2e-2
+    assert float(jnp.max(jnp.abs(o_none[0, 0, -1] - want_row))) < 2e-2
+    # beta: the amplified max underflows all of the row's probability mass
+    assert float(jnp.max(jnp.abs(o_beta[0, 0, -1] - want_row))) > 0.5
+    # and its saved lse is off by ~the amplification (backward poison)
+    assert float(lse_beta[0, 0, -1] - lse_eps[0, 0, -1]) > 50.0

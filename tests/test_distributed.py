@@ -602,3 +602,90 @@ def test_train_step_attention_sp_auto_resolves(rng):
                             head_dim=32, n_layers=1, max_seq=256)
     with pytest.raises(ValueError, match="divisible"):
         make_sharded_train_step(mesh, bad, attention_sp="ulysses")
+
+
+@pytest.mark.parametrize("gqa", [False, True])
+def test_zigzag_ring_attention_parity(rng, gqa):
+    """Zigzag (striped) causal ring == oracle on the permuted sequence —
+    forward AND gradients (the dK/dV accumulators ride the ring home).
+    The zigzag removes the contiguous ring's last-rank causal imbalance
+    (parallel/scaling_model.py); no reference counterpart."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel.zigzag import (
+        zigzag_perm, zigzag_ring_attention,
+    )
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    t = 512
+    q, _, _, do = make_qkv(rng, batch=1, head=2, q_tokens=t)
+    n_kv = 1 if gqa else 2
+    kk, kv_ = jax.random.split(jax.random.key(33))
+    k = jax.random.normal(kk, (1, n_kv, t, 64))
+    v = jax.random.normal(kv_, (1, n_kv, t, 64))
+    perm = zigzag_perm(4, t)
+
+    spec = P(None, "model", None if gqa else "model", None)
+    qspec = P(None, "model", "context", None)
+    # kv heads replicate over model when GQA (1 head), else shard
+    kvspec = P(None, None if gqa else "model", "context", None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(qspec, kvspec, kvspec), out_specs=qspec, check_vma=False,
+    )
+    def zz(q_, k_, v_):
+        return zigzag_ring_attention(q_, k_, v_, "context")
+
+    qp, kp, vp = q[:, :, perm], k[:, :, perm], v[:, :, perm]
+    o_p = zz(qp, kp, vp)
+    k_rep = jnp.repeat(k, 2, axis=1) if gqa else k
+    v_rep = jnp.repeat(v, 2, axis=1) if gqa else v
+    want = reference_attention(q, k_rep, v_rep, causal=True)[:, :, perm]
+    rep_o = mismatch_report(f"zigzag gqa={gqa}", o_p, want, atol=1e-2)
+    assert rep_o.mismatch_rate <= 2e-3, rep_o
+
+    def loss(q_, k_, v_):
+        return jnp.sum(zz(q_, k_, v_) * do[:, :, perm])
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(qp, kp, vp)
+    assert dk.shape == kp.shape
+
+    def loss_ref(q_, k_, v_):
+        kr = jnp.repeat(k_, 2, axis=1) if gqa else k_
+        vr = jnp.repeat(v_, 2, axis=1) if gqa else v_
+        return jnp.sum(reference_attention(q_, kr, vr, causal=True) * do)
+
+    dq_w, dk_w, dv_w = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for nm, g, w in [("dq", dq, dq_w[:, :, perm]), ("dk", dk, dk_w[:, :, perm]),
+                     ("dv", dv, dv_w[:, :, perm])]:
+        rep_g = mismatch_report(f"zigzag {nm}", g, w, atol=2e-2)
+        assert rep_g.mismatch_rate <= 2e-3, rep_g
+
+
+def test_train_step_attention_sp_zigzag_parity(rng):
+    """attention_sp='zigzag' (striped causal ring + in-step permutation +
+    zigzag RoPE positions) optimizes the same objective as the ring."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, init_transformer, make_sharded_train_step,
+    )
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=2, n_kv_heads=2,
+                            head_dim=64, n_layers=1, max_seq=1024)
+    params = init_transformer(rng, cfg)
+    tokens = jax.random.randint(jax.random.key(13), (2, 1024), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    optimizer, step_ring = make_sharded_train_step(mesh, cfg, attention_sp="ring")
+    _, step_zz = make_sharded_train_step(mesh, cfg, attention_sp="zigzag")
+    opt0 = optimizer.init(params)
+    p_ring, _, loss_ring = step_ring(params, opt0, tokens, targets)
+    p_zz, _, loss_zz = step_zz(params, opt0, tokens, targets)
+    assert abs(float(loss_ring) - float(loss_zz)) < 2e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p_ring),
+                    jax.tree_util.tree_leaves(p_zz)):
+        assert jnp.max(jnp.abs(a - b)) < 5e-2

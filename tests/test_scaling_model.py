@@ -66,13 +66,32 @@ def test_ulysses_balanced_causal():
 
 def test_best_variant_respects_divisibility():
     assert best_sp_variant(16, 16, 2048, 64, n=8) == "ulysses"
-    # n > h_kv: ulysses impossible -> ring/allgather fallback
+    # n > h_kv: ulysses impossible -> zigzag/ring/allgather fallback
     got = best_sp_variant(16, 4, 2048, 64, n=8)
-    assert got in ("ring", "allgather")
-    assert best_sp_variant(16, 16, 2048, 64, n=8, allow_ulysses=False) in (
-        "ring", "allgather")
+    assert got in ("ring", "allgather", "zigzag")
+    assert best_sp_variant(16, 16, 2048, 64, n=8, allow_ulysses=False,
+                           allow_zigzag=False) in ("ring", "allgather")
 
 
 def test_efficiency_decreases_with_n_for_ring():
     effs = [predict_step(w(n=n), "ring").efficiency for n in (2, 4, 8, 16)]
     assert all(a >= b for a, b in zip(effs, effs[1:]))
+
+
+def test_zigzag_balanced_and_ring_bytes():
+    from quantizedattention_tpu.parallel.scaling_model import zigzag_cost
+
+    ww = w(n=16)
+    zz, rr = zigzag_cost(ww), ring_cost(ww)
+    assert zz.ici_fwd == rr.ici_fwd and zz.ici_bwd == rr.ici_bwd
+    # balanced: way below the contiguous ring's last-rank-bound flops
+    assert zz.flops_fwd < 0.6 * rr.flops_fwd
+    p = predict_step(ww, "zigzag", ici_bytes_per_s=1e18)
+    assert p.efficiency > 0.99  # no imbalance penalty at infinite bandwidth
+
+
+def test_best_variant_prefers_balanced_causal():
+    # with ulysses disallowed (e.g. too few heads), causal training should
+    # pick zigzag over the imbalanced contiguous ring
+    got = best_sp_variant(16, 4, 2048, 64, n=8, allow_ulysses=False)
+    assert got == "zigzag"
