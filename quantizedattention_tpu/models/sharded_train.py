@@ -61,6 +61,7 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
     from quantizedattention_tpu.parallel.zigzag import (
         zigzag_local_positions,
         zigzag_ring_attention,
+        zigzag_ring_attention_int8,
     )
     n_model = jax.lax.axis_size("model")
     n_ctx = jax.lax.axis_size("context")
@@ -92,7 +93,9 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
             o = ulysses_attention(q, k, v, "context", causal=True,
                                   config=config, kind=attention)
         elif attention_sp == "zigzag":
-            o = zigzag_ring_attention(q, k, v, "context", config=config)
+            zz = (zigzag_ring_attention_int8 if attention == "int8"
+                  else zigzag_ring_attention)
+            o = zz(q, k, v, "context", config=config)
         elif attention == "int8":
             # the int8 all-gather path needs repeated heads (see collective)
             rep = h_loc // kv_loc
@@ -163,10 +166,6 @@ def make_sharded_train_step(
             f"attention_sp='ulysses' needs per-shard head counts divisible "
             f"by the context axis ({h_loc}/{kv_loc} heads, context={n_ctx})"
         )
-    if attention_sp == "zigzag" and attention == "int8":
-        raise ValueError(
-            "attention_sp='zigzag' currently runs the bf16 kernels only"
-        )
     if attention_sp == "auto":
         from quantizedattention_tpu.parallel.scaling_model import best_sp_variant
 
@@ -178,8 +177,7 @@ def make_sharded_train_step(
             n=n_ctx,
             kind=attention,
             allow_ulysses=(h_loc % n_ctx == 0 and kv_loc % n_ctx == 0),
-            allow_zigzag=(attention == "bf16"
-                          and cfg.max_seq % (2 * n_ctx) == 0
+            allow_zigzag=(cfg.max_seq % (2 * n_ctx) == 0
                           and (cfg.max_seq // (2 * n_ctx)) % 128 == 0),
         ) if n_ctx > 1 else "ring"
 

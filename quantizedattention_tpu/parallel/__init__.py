@@ -23,6 +23,7 @@ from quantizedattention_tpu.parallel.zigzag import (
     zigzag_local_positions,
     zigzag_perm,
     zigzag_ring_attention,
+    zigzag_ring_attention_int8,
 )
 from quantizedattention_tpu.parallel.collective import (
     allgather_kv_attention,
@@ -51,6 +52,7 @@ from quantizedattention_tpu.parallel.kv_cache import (
 
 __all__ = [
     "zigzag_ring_attention",
+    "zigzag_ring_attention_int8",
     "zigzag_perm",
     "zigzag_local_positions",
     "make_attention_mesh",

@@ -18,8 +18,9 @@ effects the round-2 harness artifact could not:
     fixed, so rank i computes ~(i + 1/2) live hops of work — the step is
     bound by the LAST rank (~n - 1/2 hops), and causal masking halves
     energy but NOT wall-clock. Ulysses re-shards by head (full sequence per
-    rank), so its causal work is balanced. (The classic fix — zigzag /
-    striped sharding — is noted in docs/ARCHITECTURE.md; not implemented.)
+    rank) and the zigzag ring stripes chunk pairs (parallel/zigzag.py) —
+    both keep causal work balanced; this model motivated building the
+    zigzag in round 3.
   * OVERLAP STRUCTURE: the ring issues its ppermute before each hop's
     kernel (parallel/ring.py:12), so exposed time is max(compute, comm)
     per hop; all-gather/Ulysses block on their collectives up front
@@ -286,7 +287,7 @@ def best_sp_variant(
     cands = ["ring", "allgather"]
     if allow_ulysses and n <= h_kv and h % n == 0 and h_kv % n == 0:
         cands.append("ulysses")
-    if allow_zigzag and causal and kind == "bf16":
+    if allow_zigzag and causal:
         cands.append("zigzag")
     preds = {v: predict_step(w, v) for v in cands}
     return min(preds, key=lambda v: preds[v].t_step_s)

@@ -41,6 +41,11 @@ import jax.numpy as jnp
 
 from quantizedattention_tpu.ops.flash_bwd import flash_attention_bwd
 from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+from quantizedattention_tpu.ops.int8_bwd import int8_attention_bwd
+from quantizedattention_tpu.ops.int8_fwd import (
+    int8_attention_fwd_from_quantized,
+    quantize_qkv,
+)
 from quantizedattention_tpu.tune.config import BlockConfig, default_block_config
 
 _NEG_INF = -jnp.inf
@@ -263,3 +268,212 @@ def _zz_bwd(axis_name, sm_scale, config, res, do):
 
 
 zigzag_ring_attention.defvjp(_zz_fwd, _zz_bwd)
+
+
+# ---------------------------------------------------------------------------
+# int8 zigzag: the striped causal ring rotating QUANTIZED chunk pairs
+# (payloads + per-block scales — the ring.py int8 contract, striped).
+# ---------------------------------------------------------------------------
+
+def _sel_res(cond, res_a, res_b):
+    """Select an int8 (payload, scales) residual pair by a scalar predicate
+    (the piece-B operand selection — one kernel runs either way)."""
+    (pa, sa), (pb, sb) = res_a, res_b
+    return (jnp.where(cond, pa, pb), jnp.where(cond, sa, sb))
+
+
+def _repeat_res(res, rep, batch):
+    from quantizedattention_tpu.parallel.ring import _repeat_int8_res
+
+    return _repeat_int8_res(res, rep, batch)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def zigzag_ring_attention_int8(q, k, v, axis_name, sm_scale=None,
+                               config: BlockConfig | None = None):
+    """int8 variant of zigzag_ring_attention: each chunk quantizes once
+    (K smoothed with the GLOBAL token mean via pmean), the int8 payloads +
+    scales rotate (~1/2 the bf16 wire bytes), and the backward re-rotates
+    the same residuals into the int8 backward kernels — ring.py's
+    residual-reuse contract, striped for causal load balance."""
+    o, _ = _zz_i8_fwd_impl(q, k, v, axis_name, sm_scale, config)
+    return o
+
+
+def _zz_i8_quantize(q, k, v, c, config, k_mean):
+    """Quantize the (lo, hi) chunk pairs independently at the chunk grain."""
+    q_res_lo, k_res_lo, v_res_lo = quantize_qkv(
+        q[:, :, :c], k[:, :, :c], v[:, :, :c], config, k_sub=k_mean)
+    q_res_hi, k_res_hi, v_res_hi = quantize_qkv(
+        q[:, :, c:], k[:, :, c:], v[:, :, c:], config, k_sub=k_mean)
+    return (q_res_lo, q_res_hi), (k_res_lo, k_res_hi), (v_res_lo, v_res_hi)
+
+
+def _zz_i8_fwd_impl(q, k, v, axis_name, sm_scale, config):
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    batch, head, t_local, head_dim = q.shape
+    c = t_local // 2
+    rep = head // k.shape[1]
+    if config is None:
+        config = default_block_config("int8", c, c, head_dim)
+    config = config.clamp(c, c)
+    dims = (batch, head, c, c, head_dim)
+
+    k_mean = jax.lax.pmean(jnp.mean(k, axis=-2, keepdims=True), axis_name)
+    (q_lo_r, q_hi_r), (k_lo_r0, k_hi_r0), (v_lo_r0, v_hi_r0) = _zz_i8_quantize(
+        q, k, v, c, config, k_mean)
+
+    o_lo = jnp.zeros((batch, head, c, head_dim), jnp.float32)
+    o_hi = jnp.zeros_like(o_lo)
+    lse_lo = jnp.full((batch, head, c), _NEG_INF, jnp.float32)
+    lse_hi = jnp.full_like(lse_lo, _NEG_INF)
+
+    def attend(q_res, k_res, v_res, causal):
+        return int8_attention_fwd_from_quantized(
+            (q_res, _repeat_res(k_res, rep, batch),
+             _repeat_res(v_res, rep, batch)),
+            dims, causal=causal, sm_scale=sm_scale, config=config,
+        )
+
+    kv = (k_lo_r0, k_hi_r0, v_lo_r0, v_hi_r0)
+    for step in range(n):
+        kv_next = (
+            jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis_name, perm), kv)
+            if step < n - 1 else None
+        )
+        k_lo_r, k_hi_r, v_lo_r, v_hi_r = kv
+        if step == 0:
+            o_p, l_p = attend(q_lo_r, k_lo_r, v_lo_r, True)
+            o_lo, lse_lo = _merge(o_lo, lse_lo, o_p, l_p)
+            o_p, l_p = attend(q_hi_r, k_hi_r, v_hi_r, True)
+            o_hi, lse_hi = _merge(o_hi, lse_hi, o_p, l_p)
+            o_p, l_p = attend(q_hi_r, k_lo_r, v_lo_r, False)
+            o_hi, lse_hi = _merge(o_hi, lse_hi, o_p, l_p)
+        else:
+            src = (idx - step) % n
+            lo_side = src < idx
+            o_p, l_p = attend(q_hi_r, k_lo_r, v_lo_r, False)
+            o_hi, lse_hi = _merge(o_hi, lse_hi, o_p, l_p)
+            q_res = _sel_res(lo_side, q_lo_r, q_hi_r)
+            k_res = _sel_res(lo_side, k_lo_r, k_hi_r)
+            v_res = _sel_res(lo_side, v_lo_r, v_hi_r)
+            o_p, l_p = attend(q_res, k_res, v_res, False)
+            o_lo2, lse_lo2 = _merge(o_lo, lse_lo, o_p, l_p)
+            o_hi2, lse_hi2 = _merge(o_hi, lse_hi, o_p, l_p)
+            o_lo = jnp.where(lo_side, o_lo2, o_lo)
+            lse_lo = jnp.where(lo_side, lse_lo2, lse_lo)
+            o_hi = jnp.where(lo_side, o_hi, o_hi2)
+            lse_hi = jnp.where(lo_side, lse_hi, lse_hi2)
+        if kv_next is not None:
+            kv = kv_next
+
+    o = jnp.concatenate([o_lo, o_hi], axis=2)
+    lse = jnp.concatenate([lse_lo, lse_hi], axis=2)
+    res = ((q_lo_r, q_hi_r), (k_lo_r0, k_hi_r0), (v_lo_r0, v_hi_r0),
+           k_mean, o, lse)
+    return o, res
+
+
+def _zz_i8_fwd(q, k, v, axis_name, sm_scale, config):
+    o, res = _zz_i8_fwd_impl(q, k, v, axis_name, sm_scale, config)
+    # rank-0 dtype markers (a (0,)-shaped mark under this grad-of-
+    # shard_map path trips an XLA output-sharding assertion)
+    marks = tuple(jnp.zeros((), x.dtype) for x in (q, k, v))
+    return o, res + (marks,)
+
+
+def _zz_i8_bwd(axis_name, sm_scale, config, res, do):
+    (q_lo_r, q_hi_r), (k_lo_r0, k_hi_r0), (v_lo_r0, v_hi_r0), k_mean, o, lse, marks = res
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    batch, head, t_local, head_dim = o.shape
+    c = t_local // 2
+    h_kv = k_lo_r0[0].shape[0] // batch
+    rep = head // h_kv
+    if config is None:
+        config = default_block_config("int8", c, c, head_dim)
+    config = config.clamp(c, c)
+    dims = (batch, head, c, c, head_dim)
+    from quantizedattention_tpu.parallel.ring import _repeat_heads
+
+    k_mean_rep = _repeat_heads(k_mean, rep)
+
+    o_lo, o_hi = o[:, :, :c], o[:, :, c:]
+    lse_lo, lse_hi = lse[:, :, :c], lse[:, :, c:]
+    do_lo, do_hi = do[:, :, :c], do[:, :, c:]
+
+    def grads(q_res, oc, lc, dc, k_res, v_res, causal):
+        dq_p, dk_p, dv_p = int8_attention_bwd(
+            (q_res, _repeat_res(k_res, rep, batch),
+             _repeat_res(v_res, rep, batch)),
+            k_mean_rep, oc, lc, dc, dims,
+            causal=causal, sm_scale=sm_scale, config=config,
+        )
+        return dq_p, _group_sum(dk_p, rep), _group_sum(dv_p, rep)
+
+    dq_lo = jnp.zeros((batch, head, c, head_dim), jnp.float32)
+    dq_hi = jnp.zeros_like(dq_lo)
+    zero_kv = jnp.zeros((batch, h_kv, c, head_dim), jnp.float32)
+    kv = (k_lo_r0, k_hi_r0, v_lo_r0, v_hi_r0)
+    dk_lo, dk_hi, dv_lo, dv_hi = zero_kv, zero_kv, zero_kv, zero_kv
+    for step in range(n):
+        kv_next = (
+            jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis_name, perm), kv)
+            if step < n - 1 else None
+        )
+        k_lo_r, k_hi_r, v_lo_r, v_hi_r = kv
+        if step == 0:
+            dq_p, dk_p, dv_p = grads(q_lo_r, o_lo, lse_lo, do_lo, k_lo_r, v_lo_r, True)
+            dq_lo += dq_p
+            dk_lo += dk_p
+            dv_lo += dv_p
+            dq_p, dk_p, dv_p = grads(q_hi_r, o_hi, lse_hi, do_hi, k_hi_r, v_hi_r, True)
+            dq_hi += dq_p
+            dk_hi += dk_p
+            dv_hi += dv_p
+            dq_p, dk_p, dv_p = grads(q_hi_r, o_hi, lse_hi, do_hi, k_lo_r, v_lo_r, False)
+            dq_hi += dq_p
+            dk_lo += dk_p
+            dv_lo += dv_p
+        else:
+            src = (idx - step) % n
+            lo_side = src < idx
+            dq_p, dk_p, dv_p = grads(q_hi_r, o_hi, lse_hi, do_hi, k_lo_r, v_lo_r, False)
+            dq_hi += dq_p
+            dk_lo += dk_p
+            dv_lo += dv_p
+            q_res = _sel_res(lo_side, q_lo_r, q_hi_r)
+            k_res = _sel_res(lo_side, k_lo_r, k_hi_r)
+            v_res = _sel_res(lo_side, v_lo_r, v_hi_r)
+            oc = jnp.where(lo_side, o_lo, o_hi)
+            lc = jnp.where(lo_side, lse_lo, lse_hi)
+            dc = jnp.where(lo_side, do_lo, do_hi)
+            dq_p, dk_p, dv_p = grads(q_res, oc, lc, dc, k_res, v_res, False)
+            dq_lo = dq_lo + jnp.where(lo_side, dq_p, 0.0)
+            dq_hi = dq_hi + jnp.where(lo_side, 0.0, dq_p)
+            dk_lo = dk_lo + jnp.where(lo_side, dk_p, 0.0)
+            dk_hi = dk_hi + jnp.where(lo_side, 0.0, dk_p)
+            dv_lo = dv_lo + jnp.where(lo_side, dv_p, 0.0)
+            dv_hi = dv_hi + jnp.where(lo_side, 0.0, dv_p)
+        if kv_next is not None:
+            dk_lo, dk_hi, dv_lo, dv_hi = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis_name, perm),
+                (dk_lo, dk_hi, dv_lo, dv_hi))
+            kv = kv_next
+
+    dk_lo, dk_hi, dv_lo, dv_hi = jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(x, axis_name, perm),
+        (dk_lo, dk_hi, dv_lo, dv_hi))
+    dq = jnp.concatenate([dq_lo, dq_hi], axis=2)
+    dk = jnp.concatenate([dk_lo, dk_hi], axis=2)
+    dv = jnp.concatenate([dv_lo, dv_hi], axis=2)
+    qm, km, vm = marks
+    return dq.astype(qm.dtype), dk.astype(km.dtype), dv.astype(vm.dtype)
+
+
+zigzag_ring_attention_int8.defvjp(_zz_i8_fwd, _zz_i8_bwd)

@@ -689,3 +689,71 @@ def test_train_step_attention_sp_zigzag_parity(rng):
     for a, b in zip(jax.tree_util.tree_leaves(p_ring),
                     jax.tree_util.tree_leaves(p_zz)):
         assert jnp.max(jnp.abs(a - b)) < 5e-2
+
+
+def test_int8_zigzag_ring_parity(rng):
+    """int8 zigzag: quantized chunk pairs + scales rotate; fwd and grads
+    match the oracle within the int8 envelope."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel.zigzag import (
+        zigzag_perm, zigzag_ring_attention_int8,
+    )
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    t = 1024
+    q, k, v, do = make_qkv(rng, batch=1, head=2, q_tokens=t)
+    perm = zigzag_perm(4, t)
+    spec = P(None, "model", "context", None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec,) * 3, out_specs=spec, check_vma=False,
+    )
+    def zz(q_, k_, v_):
+        return zigzag_ring_attention_int8(q_, k_, v_, "context")
+
+    qp, kp, vp = q[:, :, perm], k[:, :, perm], v[:, :, perm]
+    o_p = zz(qp, kp, vp)
+    want = reference_attention(q, k, v, causal=True)[:, :, perm]
+    rep_o = mismatch_report("int8 zigzag fwd", o_p, want, atol=5e-2)
+    assert rep_o.mismatch_rate <= 2e-3, rep_o
+
+    def loss(q_, k_, v_):
+        return jnp.sum(zz(q_, k_, v_) * do[:, :, perm])
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(qp, kp, vp)
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=True)
+    for nm, g, w in [("dq", dq, dq_w[:, :, perm]), ("dk", dk, dk_w[:, :, perm]),
+                     ("dv", dv, dv_w[:, :, perm])]:
+        rel = float(jnp.linalg.norm(g - w)
+                    / jnp.maximum(jnp.linalg.norm(w), 1e-6))
+        assert rel <= 0.06, (nm, rel)
+        assert not bool(jnp.any(jnp.isnan(g))), nm
+
+
+def test_train_step_int8_zigzag(rng):
+    """attention='int8' + attention_sp='zigzag' trains and matches the int8
+    ring step's objective."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, init_transformer, make_sharded_train_step,
+    )
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=2, n_kv_heads=2,
+                            head_dim=64, n_layers=1, max_seq=1024)
+    params = init_transformer(rng, cfg)
+    tokens = jax.random.randint(jax.random.key(17), (2, 1024), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    optimizer, step_ring = make_sharded_train_step(
+        mesh, cfg, attention="int8", attention_sp="ring")
+    _, step_zz = make_sharded_train_step(
+        mesh, cfg, attention="int8", attention_sp="zigzag")
+    opt0 = optimizer.init(params)
+    _, _, loss_ring = step_ring(params, opt0, tokens, targets)
+    _, _, loss_zz = step_zz(params, opt0, tokens, targets)
+    assert abs(float(loss_ring) - float(loss_zz)) < 1e-2
