@@ -379,6 +379,46 @@ def prefill_chunk(
     return sample_token(logits, temperature, key), new_caches
 
 
+def prefill_slots(
+    params, caches, tokens, true_lens, slots, cfg: TransformerConfig,
+    temperature: float = 0.0, key=None,
+):
+    """Fused prefill of SEVERAL requests in one pass: tokens [B, t_pad]
+    (right-padded to a shared bucket), true_lens [B], slots [B] int32 cache
+    rows. One jit dispatch instead of B — on relay-backed runtimes each
+    dispatch carries a fixed host round-trip that dominated admission bursts
+    (measured: 8 sequential 12-layer prefills cost 0.66 s of an 1.28 s
+    engine run while their device compute is ~1 ms each). Returns
+    (first tokens [B], caches)."""
+    B, t_pad = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.arange(t_pad)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln1"])
+        q, k, v = _project_qkv(layer, h, cfg, positions)
+        for i in range(B):
+            if isinstance(cache, PagedKVCache):
+                cache = write_prompt_paged(cache, slots[i], k[i], v[i], true_lens[i])
+            else:
+                cache = write_kv_slot(cache, slots[i], k[i], v[i], true_lens[i])
+        o = _attention(q, k, v, cfg)
+        o = o.transpose(0, 2, 1, 3).reshape(B, -1, cfg.n_heads * cfg.head_dim)
+        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"])
+    logits = x[jnp.arange(B), true_lens - 1] @ params["unembed"]
+    if temperature == 0.0 or key is None:
+        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
+        toks = jax.vmap(
+            lambda kk, lg: jax.random.categorical(
+                kk, lg.astype(jnp.float32) / temperature)
+        )(keys, logits).astype(jnp.int32)
+    return toks, new_caches
+
+
 def prefill_batched(
     params, caches, prompt, cfg: TransformerConfig,
     temperature: float = 0.0, key=None,

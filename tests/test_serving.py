@@ -602,3 +602,58 @@ def test_engine_latency_metrics(lm):
     res = eng.run()[rid]
     assert res.ttft_s is not None and res.duration_s is not None
     assert 0 < res.ttft_s <= res.duration_s
+
+
+def test_batched_admission_single_dispatch(rng):
+    """Several waiting requests admit in ONE multi-slot prefill dispatch
+    (the relay round-trip per admission dominated bursts — round-2 verdict
+    next #4), and tokens match sequential single-slot admission."""
+    cfg = small_cfg()
+    params = init_transformer(rng, cfg)
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [4] * 10, [11, 12]]
+
+    eng = ServingEngine(params, cfg, n_slots=4, scheduler="python")
+    calls = {"batched": 0, "single": 0}
+    orig = eng._dispatch_prefills
+
+    def spy(batch):
+        calls["batched" if len(batch) > 1 else "single"] += 1
+        return orig(batch)
+
+    eng._dispatch_prefills = spy
+    rids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    out = eng.run()
+    assert calls["batched"] == 1 and calls["single"] == 0
+    got = {r: out[r].tokens for r in rids}
+
+    # sequential reference: one request at a time (no batching possible)
+    eng2 = ServingEngine(params, cfg, n_slots=4, scheduler="python")
+    want = {}
+    for p, r in zip(prompts, rids):
+        r2 = eng2.submit(p, max_new_tokens=5)
+        want[r] = eng2.run()[r2].tokens
+    assert got == want, (got, want)
+
+
+def test_surplus_bank_guard(rng):
+    """When the pending fetches already satisfy every slot's budget, the
+    engine flushes instead of dispatching a provably-surplus decode bank."""
+    cfg = small_cfg()
+    params = init_transformer(rng, cfg)
+    eng = ServingEngine(params, cfg, n_slots=2, scheduler="python",
+                        decode_horizon=8)
+    n_decodes = {"n": 0}
+    orig = eng._decode_horizon
+
+    def spy(*a, **k):
+        n_decodes["n"] += 1
+        return orig(*a, **k)
+
+    eng._decode_horizon = spy
+    # budget 8 = exactly one bank after the prefill token: a second bank
+    # would be 100% surplus and must not be dispatched
+    r0 = eng.submit([1, 2, 3], max_new_tokens=9)
+    r1 = eng.submit([4, 5], max_new_tokens=9)
+    out = eng.run()
+    assert n_decodes["n"] == 1, n_decodes
+    assert len(out[r0].tokens) == 9 and len(out[r1].tokens) == 9
