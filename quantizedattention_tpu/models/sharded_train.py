@@ -97,12 +97,8 @@ def _sharded_forward(params, tokens, cfg: TransformerConfig,
                   else zigzag_ring_attention)
             o = zz(q, k, v, "context", config=config)
         elif attention == "int8":
-            # the int8 all-gather path needs repeated heads (see collective)
-            rep = h_loc // kv_loc
-            k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k
-            v_r = jnp.repeat(v, rep, axis=1) if rep > 1 else v
-            o = allgather_kv_attention_int8(q, k_r, v_r, "context",
-                                            causal=True, config=config)
+            o = allgather_kv_attention_int8(q, k, v, "context", causal=True,
+                                            config=config)
         else:
             o = allgather_kv_attention(q, k, v, "context", causal=True,
                                        config=config)

@@ -133,9 +133,11 @@ def allgather_kv_attention_int8(q, k, v, axis_name, causal=False, sm_scale=None,
     (K smoothed with the global token mean), the int8 payload + per-block
     scales all-gather (~1/4 the bytes of a bf16 gather), one int8 kernel
     per chip. Differentiable: the backward recomputes from the gathered
-    residuals and reduce-scatters dK/dV home. Causal masking uses the int8
-    kernels' global q/k offsets. t_local must be a multiple of 128 so the
-    gathered quantization grid has no interior padding.
+    residuals and reduce-scatters dK/dV home (GQA: the unrepeated kv-group
+    payload + scales ride the wire; repeats happen locally after the
+    gather, and dK/dV group-sum before the reduce-scatter). Causal masking
+    uses the int8 kernels' global q/k offsets. t_local must be a multiple
+    of 128 so the gathered quantization grid has no interior padding.
     """
     o, _ = _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config)
     return o
@@ -145,11 +147,9 @@ def _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     batch, head, t_local, head_dim = q.shape
-    if k.shape[1] != head:
-        raise ValueError(
-            "int8 all-gather does not support unrepeated GQA kv heads; "
-            "repeat kv heads before the call or use the int8 ring"
-        )
+    if head % k.shape[1] != 0:
+        raise ValueError("q heads must be a multiple of kv heads")
+    rep = head // k.shape[1]  # GQA: gather the UNREPEATED quantized payload
     if t_local % 128 != 0:
         raise ValueError("int8 all-gather requires t_local % 128 == 0")
     if config is None:
@@ -174,14 +174,21 @@ def _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     v_i8f = jax.lax.all_gather(v_i8, axis_name, axis=1, tiled=True)
     sv_f = jax.lax.all_gather(sv, axis_name, axis=1, tiled=True)
     dims = (batch, head, t_local, n * t_local, head_dim)
+    # residuals keep the UNREPEATED gathered payload; repeats happen at the
+    # kernel boundary (fwd here, bwd in _ag_i8_bwd)
     residuals = ((q_i8, sq), (k_i8f, sk_f), (v_i8f, sv_f))
+    from quantizedattention_tpu.parallel.ring import _repeat_int8_res
+
+    kernel_res = ((q_i8, sq),
+                  _repeat_int8_res((k_i8f, sk_f), rep, batch),
+                  _repeat_int8_res((v_i8f, sv_f), rep, batch))
     q_off = idx * t_local
     o, lse = int8_attention_fwd_from_quantized(
-        residuals, dims, causal=causal, sm_scale=sm_scale, config=config,
+        kernel_res, dims, causal=causal, sm_scale=sm_scale, config=config,
         q_offset=q_off, k_offset=0,
     )
     return o, (residuals, k_mean, o, lse, dims, q_off,
-               tuple(jnp.zeros((0,), x.dtype) for x in (q, k, v)))
+               tuple(jnp.zeros((), x.dtype) for x in (q, k, v)))
 
 
 def _ag_i8_fwd(q, k, v, axis_name, causal, sm_scale, config):
@@ -190,12 +197,25 @@ def _ag_i8_fwd(q, k, v, axis_name, causal, sm_scale, config):
 
 
 def _ag_i8_bwd(axis_name, causal, sm_scale, config, res, do):
-    residuals, k_mean, o, lse, dims, q_off, marks = res
+    from quantizedattention_tpu.parallel.ring import _repeat_heads, _repeat_int8_res
+
+    (q_res, k_res, v_res), k_mean, o, lse, dims, q_off, marks = res
+    batch, head = dims[0], dims[1]
+    rep = head * batch // k_res[0].shape[0]
+    kernel_res = (q_res,
+                  _repeat_int8_res(k_res, rep, batch),
+                  _repeat_int8_res(v_res, rep, batch))
+    k_mean_rep = _repeat_heads(k_mean, rep)
     dq, dk_full, dv_full = int8_attention_bwd(
-        residuals, k_mean, o, lse, do, dims,
+        kernel_res, k_mean_rep, o, lse, do, dims,
         causal=causal, sm_scale=sm_scale, config=config,
         q_offset=q_off, k_offset=0,
     )
+    if rep > 1:
+        # GQA transpose of the local repeat: sum grads over each kv group
+        b, h, t_full, d = dk_full.shape
+        dk_full = dk_full.reshape(b, h // rep, rep, t_full, d).sum(2)
+        dv_full = dv_full.reshape(b, h // rep, rep, t_full, d).sum(2)
     dk = jax.lax.psum_scatter(dk_full, axis_name, scatter_dimension=2, tiled=True)
     dv = jax.lax.psum_scatter(dv_full, axis_name, scatter_dimension=2, tiled=True)
     qm, km, vm = marks

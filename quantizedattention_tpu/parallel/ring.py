@@ -271,7 +271,7 @@ def _ring_int8_fwd(q, k, v, axis_name, causal, sm_scale, config):
         q, k, v, axis_name, causal, sm_scale, config
     )
     # zero-size dtype markers (dtypes themselves are not JAX types)
-    marks = tuple(jnp.zeros((0,), x.dtype) for x in (q, k, v))
+    marks = tuple(jnp.zeros((), x.dtype) for x in (q, k, v))
     return o, (q_res, k_res, v_res, k_mean, o, lse, marks)
 
 

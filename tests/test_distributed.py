@@ -757,3 +757,54 @@ def test_train_step_int8_zigzag(rng):
     _, _, loss_ring = step_ring(params, opt0, tokens, targets)
     _, _, loss_zz = step_zz(params, opt0, tokens, targets)
     assert abs(float(loss_ring) - float(loss_zz)) < 1e-2
+
+
+def test_gqa_int8_allgather_attention(rng):
+    """GQA through the int8 all-gather: the UNREPEATED quantized payload +
+    scales ride the wire (1/rep the bytes), repeats happen after the
+    gather, and dK/dV group-sum before the reduce-scatter."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from quantizedattention_tpu.parallel.collective import (
+        allgather_kv_attention_int8,
+    )
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    t = 512
+    q, _, _, do = make_qkv(rng, batch=1, head=4, q_tokens=t)
+    kk, kv_ = jax.random.split(jax.random.key(41))
+    k = jax.random.normal(kk, (1, 2, t, 64))
+    v = jax.random.normal(kv_, (1, 2, t, 64))
+    qspec = P(None, None, "context", None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(qspec,) * 3, out_specs=qspec, check_vma=False,
+    )
+    def ag(q_, k_, v_):
+        return allgather_kv_attention_int8(q_, k_, v_, "context", causal=True)
+
+    o = ag(q, k, v)
+    k_r, v_r = jnp.repeat(k, 2, axis=1), jnp.repeat(v, 2, axis=1)
+    want = reference_attention(q, k_r, v_r, causal=True)
+    rep_o = mismatch_report("gqa int8 ag fwd", o, want, atol=5e-2)
+    assert rep_o.mismatch_rate <= 2e-3, rep_o
+
+    def loss(q_, k_, v_):
+        return jnp.sum(ag(q_, k_, v_) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert dk.shape == k.shape
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(reference_attention(
+            q_, jnp.repeat(k_, 2, axis=1), jnp.repeat(v_, 2, axis=1),
+            causal=True) * do)
+
+    dq_w, dk_w, dv_w = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rel = float(jnp.linalg.norm(g - w)
+                    / jnp.maximum(jnp.linalg.norm(w), 1e-6))
+        assert rel <= 0.06, (nm, rel)
