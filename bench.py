@@ -7,6 +7,9 @@ Headline metric (BASELINE.json north-star): int8 fused-attention speedup
 over the XLA bf16 SDPA anchor at BASELINE config 3's long-sequence regime
 (B=4, H=16, seq=4096, d=64, causal) — "int8 SageAttention3-style fwd,
 seq=2048-8192". Target is >= 2.0x, so vs_baseline = speedup / 2.0.
+Round 3 on: the int8 time is the best accuracy-guarded int8 FORWARD — the
+fused inference kernel (in-kernel quantization, zero HBM residuals), with
+the residual-materializing training forward reported alongside on stderr.
 
 Supporting detail (stderr): the reference's canonical shape
 (8, 35, 1024, 64 — attention_bf16.py:567-571) for both kernels vs SDPA (the
@@ -115,6 +118,8 @@ def bench_shape(B, H, T, D, causal=True, accuracy=True):
 
     ok = True
     if accuracy:
+        from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd_fused
+
         want = reference_attention(q, k, v, causal=causal)
         rep_bf16 = mismatch_report(
             "bf16", flash_attention_fwd(q16, k16, v16, causal=causal)[0], want, atol=1e-2
@@ -122,21 +127,22 @@ def bench_shape(B, H, T, D, causal=True, accuracy=True):
         rep_int8 = mismatch_report(
             "int8", int8_attention_fwd(q, k, v, causal=causal)[0], want, atol=5e-2
         )
+        # the fused inference kernel feeds the headline timing, so its
+        # accuracy is ALWAYS part of the claimability gate
+        rep_f = mismatch_report(
+            "int8-fused",
+            int8_attention_fwd_fused(q, k, v, causal=causal)[0], want, atol=5e-2,
+        )
         log(str(rep_bf16))
         log(str(rep_int8))
-        ok = rep_bf16.mismatch_rate <= 5e-5 and rep_int8.mismatch_rate <= 2e-3
-        if accuracy and ok:
-            from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd_fused
-
-            rep_f = mismatch_report(
-                "int8-fused",
-                int8_attention_fwd_fused(q, k, v, causal=causal)[0], want,
-                atol=5e-2,
-            )
-            log(str(rep_f))
-            ok = rep_f.mismatch_rate <= 2e-3
+        log(str(rep_f))
+        ok = (rep_bf16.mismatch_rate <= 5e-5
+              and rep_int8.mismatch_rate <= 2e-3
+              and rep_f.mismatch_rate <= 2e-3)
         if not ok:
             log("WARNING: accuracy outside envelope — speedup not claimable")
+    # headline int8 time = the best ACCURACY-GUARDED int8 forward (the fused
+    # inference kernel in practice; the training forward is stderr detail)
     return t_sdpa, t_bf16, min(t_int8, t_int8f), ok
 
 

@@ -162,6 +162,7 @@ def make_sharded_train_step(
             f"attention_sp='ulysses' needs per-shard head counts divisible "
             f"by the context axis ({h_loc}/{kv_loc} heads, context={n_ctx})"
         )
+    was_auto = attention_sp == "auto"
     if attention_sp == "auto":
         from quantizedattention_tpu.parallel.scaling_model import best_sp_variant
 
@@ -180,26 +181,56 @@ def make_sharded_train_step(
     specs = param_specs(cfg)
     tok_spec = P("data", "context")
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(specs, tok_spec, tok_spec),
-        out_specs=P(),
-        check_vma=False,
-    )
-    def sharded_loss(params, tokens, targets):
-        logits = _sharded_forward(params, tokens, cfg, attention_config,
-                                  attention, attention_sp)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        # global mean: sum over all shards / global token count
-        total = jax.lax.psum(jnp.sum(nll), ("data", "context"))
-        count = jax.lax.psum(nll.size, ("data", "context"))
-        return total / count
+    def _build_loss(sp):
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(specs, tok_spec, tok_spec),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def sharded_loss(params, tokens, targets):
+            logits = _sharded_forward(params, tokens, cfg, attention_config,
+                                      attention, sp)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            # global mean: sum over all shards / global token count
+            total = jax.lax.psum(jnp.sum(nll), ("data", "context"))
+            count = jax.lax.psum(nll.size, ("data", "context"))
+            return total / count
+
+        return sharded_loss
+
+    primary_loss = _build_loss(attention_sp)
+    # the strategy is chosen from cfg.max_seq, but some strategies carry a
+    # RUNTIME shape constraint on the actual tokens: gate per step shape,
+    # falling back to the (always-shardable) ring when "auto" made the pick
+    fallback_loss = primary_loss if attention_sp == "ring" else None
+
+    def _shape_ok(t: int) -> bool:
+        if attention_sp == "zigzag":
+            return t % (2 * n_ctx) == 0
+        if attention_sp == "allgather" and attention == "int8":
+            return t % n_ctx == 0 and (t // n_ctx) % 128 == 0
+        return True
 
     @jax.jit
     def step(params, opt_state, tokens, targets):
-        if attention_sp == "zigzag":
+        nonlocal fallback_loss
+        sp, loss_fn = attention_sp, primary_loss
+        if not _shape_ok(tokens.shape[1]):
+            if not was_auto:
+                raise ValueError(
+                    f"attention_sp={attention_sp!r} cannot shard sequence "
+                    f"length {tokens.shape[1]} over context={n_ctx} "
+                    f"(zigzag needs t % {2 * n_ctx} == 0; int8 all-gather "
+                    f"needs 128-multiple shards) — pick a compatible length "
+                    f"or another strategy"
+                )
+            if fallback_loss is None:
+                fallback_loss = _build_loss("ring")
+            sp, loss_fn = "ring", fallback_loss
+        if sp == "zigzag":
             # re-order the GLOBAL sequence so contiguous context shards hold
             # zigzag (lo, hi) chunk pairs; the per-token mean loss is
             # permutation-invariant (targets move with their tokens)
@@ -208,7 +239,7 @@ def make_sharded_train_step(
             zp = zigzag_perm(n_ctx, tokens.shape[1])
             tokens = tokens[:, zp]
             targets = targets[:, zp]
-        loss, grads = jax.value_and_grad(sharded_loss)(params, tokens, targets)
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -408,15 +408,8 @@ def prefill_slots(
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
     logits = x[jnp.arange(B), true_lens - 1] @ params["unembed"]
-    if temperature == 0.0 or key is None:
-        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    else:
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(B))
-        toks = jax.vmap(
-            lambda kk, lg: jax.random.categorical(
-                kk, lg.astype(jnp.float32) / temperature)
-        )(keys, logits).astype(jnp.int32)
-    return toks, new_caches
+    # sample_token handles [B, vocab] rows (categorical samples per row)
+    return sample_token(logits, temperature, key), new_caches
 
 
 def prefill_batched(

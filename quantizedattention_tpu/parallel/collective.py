@@ -75,17 +75,18 @@ def _ag_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     if q.shape[1] % k.shape[1] != 0:
         raise ValueError("q heads must be a multiple of kv heads")
     rep = q.shape[1] // k.shape[1]
-    # GQA: gather the UNREPEATED kv-group payload (1/rep the ICI bytes) and
-    # repeat locally — mirroring the ring, which rotates unrepeated heads
+    # GQA: gather the UNREPEATED kv-group payload (1/rep the ICI bytes);
+    # the repeat happens at the kernel boundary only — residuals also stay
+    # UNREPEATED (a repeated [b, h, n*t, d] residual pair held fwd-to-bwd
+    # would cost rep x the memory for no information)
     k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
-    if rep > 1:
-        k_full = jnp.repeat(k_full, rep, axis=1)
-        v_full = jnp.repeat(v_full, rep, axis=1)
     if config is None:
         config = default_block_config("bf16", t_local, k_full.shape[2])
+    k_rep = jnp.repeat(k_full, rep, axis=1) if rep > 1 else k_full
+    v_rep = jnp.repeat(v_full, rep, axis=1) if rep > 1 else v_full
     o, lse = flash_attention_fwd(
-        q, k_full, v_full, causal=causal, sm_scale=sm_scale, config=config,
+        q, k_rep, v_rep, causal=causal, sm_scale=sm_scale, config=config,
         q_offset=idx * t_local, k_offset=0,
     )
     return o, (q, k_full, v_full, o, lse, rep)
@@ -102,8 +103,10 @@ def _ag_bwd(axis_name, causal, sm_scale, config, res, do):
         config = default_block_config("bf16", q.shape[2], k_full.shape[2])
     idx = jax.lax.axis_index(axis_name)
     t_local = q.shape[2]
+    k_rep = jnp.repeat(k_full, rep, axis=1) if rep > 1 else k_full
+    v_rep = jnp.repeat(v_full, rep, axis=1) if rep > 1 else v_full
     dq, dk_full, dv_full = flash_attention_bwd(
-        q, k_full, v_full, o, lse, do, causal=causal, sm_scale=sm_scale,
+        q, k_rep, v_rep, o, lse, do, causal=causal, sm_scale=sm_scale,
         config=config, q_offset=idx * t_local, k_offset=0, fast=True,
     )
     if rep > 1:

@@ -75,16 +75,11 @@ def zigzag_local_positions(idx, n: int, t_local: int) -> jnp.ndarray:
 
 
 def _merge(o, lse, o_p, lse_p):
-    """lse-weighted merge of normalized partials (same identity as
-    parallel/ring._merge_partials, kept local to avoid an import cycle)."""
-    m = jnp.maximum(lse, lse_p)
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    w1 = jnp.where(jnp.isfinite(lse), jnp.exp2(lse - m_safe), 0.0)
-    w2 = jnp.where(jnp.isfinite(lse_p), jnp.exp2(lse_p - m_safe), 0.0)
-    den = jnp.where(w1 + w2 == 0.0, 1.0, w1 + w2)
-    o_new = (o * w1[..., None] + o_p * w2[..., None]) / den[..., None]
-    lse_new = jnp.where(jnp.isfinite(m), m + jnp.log2(den), _NEG_INF)
-    return o_new, lse_new
+    """lse-weighted merge of normalized partials — ring's identity, reused
+    (ring.py imports nothing from this module, so no cycle)."""
+    from quantizedattention_tpu.parallel.ring import _merge_partials
+
+    return _merge_partials(o, lse, o_p, lse_p)
 
 
 def _repeat(x, rep):
@@ -117,7 +112,8 @@ def _zz_fwd_impl(q, k, v, axis_name, sm_scale, config):
     c = t_local // 2
     rep = head // k.shape[1]
     if config is None:
-        config = default_block_config("bf16", c, c, head_dim).clamp(c, c)
+        config = default_block_config("bf16", c, c, head_dim)
+    config = config.clamp(c, c)  # piece kernels run on [c x c] chunks
 
     q_lo, q_hi = q[:, :, :c], q[:, :, c:]
     o_lo = jnp.zeros((batch, head, c, head_dim), jnp.float32)
@@ -189,7 +185,8 @@ def _zz_bwd(axis_name, sm_scale, config, res, do):
     c = t_local // 2
     rep = head // k.shape[1]
     if config is None:
-        config = default_block_config("bf16", c, c, head_dim).clamp(c, c)
+        config = default_block_config("bf16", c, c, head_dim)
+    config = config.clamp(c, c)
 
     q_lo, q_hi = q[:, :, :c], q[:, :, c:]
     o_lo, o_hi = o[:, :, :c], o[:, :, c:]

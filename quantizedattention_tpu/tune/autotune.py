@@ -261,11 +261,15 @@ def resolve_decode_block(max_len: int, head_dim: int, default: int = 512) -> int
     for (kv=max_len, head_dim) when `autotune_decode` has run, else `default`.
 
     This is the zero-plumbing leg of the tune-then-pin workflow
-    (reference README.md:57-67): kv_cache.decode_attention and
-    paged-engine init call this when no explicit block is passed, so a
-    sweep immediately reaches the serving hot path. Resolution is a pure
-    host-side (mtime-memoized) file read — call it OUTSIDE jit or at trace
-    time only.
+    (reference README.md:57-67): kv_cache.decode_attention calls this when
+    no explicit block is passed, so a sweep immediately reaches the
+    slotted-cache serving hot path. (The PAGED decode kernel's block IS
+    the page size — a cache-layout choice fixed at engine init — so tuned
+    decode blocks do not apply there.) Resolution is a pure host-side
+    (mtime-memoized) file read — call it OUTSIDE jit or at trace time
+    only. NOTE from the v5e sweeps: kernel-standalone winners do not
+    always transfer to the caller's full step (docs/ARCHITECTURE.md §4) —
+    prefer sweeping the full step and pinning via save_config.
     """
     cfg = load_cached_config("decode", 1, max_len, head_dim)
     return cfg.block_kv if cfg is not None else default

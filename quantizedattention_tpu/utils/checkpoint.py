@@ -38,7 +38,7 @@ def _is_orbax_dir(path: str) -> bool:
     'not a checkpoint' error instead of a confusing Orbax restore failure."""
     if not os.path.isdir(path):
         return False
-    markers = ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt", "d")
+    markers = ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt")
     return any(os.path.exists(os.path.join(path, m)) for m in markers)
 
 
@@ -71,7 +71,11 @@ def load_checkpoint(path: str, like):
     `like`: every restored leaf lands on `like`'s sharding, so a pod-sharded
     train state restores shard-by-shard with no host gather. `like` may hold
     real arrays or jax.ShapeDtypeStruct(shape, dtype, sharding=...)."""
-    if _is_orbax_dir(path):
+    # leaves.npz wins: a numpy checkpoint stays loadable even if the
+    # directory also contains Orbax-looking entries
+    if _is_numpy_dir(path):
+        pass
+    elif _is_orbax_dir(path):
         if _ocp is None:
             raise RuntimeError(f"{path} is an orbax checkpoint but orbax is not importable")
 

@@ -808,3 +808,29 @@ def test_gqa_int8_allgather_attention(rng):
         rel = float(jnp.linalg.norm(g - w)
                     / jnp.maximum(jnp.linalg.norm(w), 1e-6))
         assert rel <= 0.06, (nm, rel)
+
+
+def test_attention_sp_runtime_shape_gate(rng):
+    """The strategy is picked from cfg.max_seq but gated on the ACTUAL
+    sequence length at step time: auto falls back to the ring for
+    zigzag-incompatible lengths; an EXPLICIT zigzag raises a clear error."""
+    from quantizedattention_tpu.models import (
+        TransformerConfig, init_transformer, lm_loss, make_sharded_train_step,
+    )
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    cfg = TransformerConfig(vocab_size=64, d_model=128, n_heads=2, n_kv_heads=2,
+                            head_dim=64, n_layers=1, max_seq=1024)
+    params = init_transformer(rng, cfg)
+    # 516 divides the 4-way context axis but NOT 2n=8 — zigzag-impossible
+    tokens = jax.random.randint(jax.random.key(23), (2, 516), 0, cfg.vocab_size)
+    targets = jnp.roll(tokens, -1, axis=1)
+
+    optimizer, step = make_sharded_train_step(mesh, cfg)  # auto
+    _, _, loss = step(params, optimizer.init(params), tokens, targets)
+    want = lm_loss(params, tokens, targets, cfg)
+    assert abs(float(loss) - float(want)) < 2e-2  # ring fallback ran
+
+    _, step_zz = make_sharded_train_step(mesh, cfg, attention_sp="zigzag")
+    with pytest.raises(ValueError, match="cannot shard sequence length"):
+        step_zz(params, optimizer.init(params), tokens, targets)
