@@ -274,22 +274,27 @@ def test_step_guard_flags_stall_and_calls_back():
 
     from quantizedattention_tpu.utils import StepGuard
 
-    delays = [0.01, 0.01, 0.01, 0.01, 0.5]  # last step is a 50x straggler
-    it = iter(delays)
+    # the straggler delay calibrates against the MEASURED fast-step median:
+    # on relay-backed runtimes every guarded call carries a fixed fetch
+    # round-trip that a hardcoded CPU-scale delay would drown in
+    sleep_for = [0.01]
     stalls = []
 
     def step(x):
-        time.sleep(next(it))
+        time.sleep(sleep_for[0])
         return x + 1
 
     guarded = StepGuard(step, stall_factor=10.0, warmup_steps=3,
                         on_stall=stalls.append)
     x = jnp.zeros(())
-    for _ in delays:
+    for _ in range(4):
         x = guarded(x)
-    assert float(x) == len(delays)
+    median = sorted(guarded.durations)[len(guarded.durations) // 2]
+    sleep_for[0] = max(0.5, 15.0 * median)  # unambiguous straggler
+    x = guarded(x)
+    assert float(x) == 5.0
     assert len(guarded.stalls) == 1 and stalls[0].kind == "stall"
-    assert len(guarded.durations) == len(delays)
+    assert len(guarded.durations) == 5
 
 
 def test_step_guard_catches_delayed_device_computation():
@@ -315,5 +320,12 @@ def test_step_guard_catches_delayed_device_computation():
     x = jnp.eye(128) + 0.01
     for _ in range(4):
         x = guarded(x, jnp.int32(1))
-    x = guarded(x, jnp.int32(20000))  # same dispatch, ~1000x the device work
-    assert len(guarded.stalls) == 1 and stalls[0].kind == "stall"
+    # grow the device work until it crosses the stall threshold — the
+    # iteration count that constitutes "slow" depends on the platform (a
+    # v5e clears 20k tiny matmuls inside the relay's fetch floor; CPU
+    # does not), so calibrate rather than hardcode
+    n = 20_000
+    while not guarded.stalls and n <= 50_000_000:
+        x = guarded(x, jnp.int32(n))
+        n *= 8
+    assert len(guarded.stalls) >= 1 and stalls[0].kind == "stall"
