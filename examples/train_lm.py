@@ -35,7 +35,10 @@ def main(sharded: bool = False):
 
     if sharded:
         mesh = make_attention_mesh(data=1, model=2, context=4)
-        optimizer, step = make_sharded_train_step(mesh, cfg)
+        # attention_sp: "auto" (default — the analytic ICI/FLOPs model picks
+        # the predicted-best sequence-parallel strategy) | "ring" | "zigzag"
+        # (load-balanced causal ring) | "ulysses" | "allgather"
+        optimizer, step = make_sharded_train_step(mesh, cfg, attention_sp="auto")
     else:
         optimizer, step = make_train_step(cfg)
     opt_state = optimizer.init(params)
