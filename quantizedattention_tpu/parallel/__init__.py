@@ -24,6 +24,7 @@ from quantizedattention_tpu.parallel.zigzag import (
     zigzag_perm,
     zigzag_ring_attention,
     zigzag_ring_attention_int8,
+    make_zigzag_attention,
 )
 from quantizedattention_tpu.parallel.collective import (
     allgather_kv_attention,
@@ -52,6 +53,7 @@ from quantizedattention_tpu.parallel.kv_cache import (
 
 __all__ = [
     "zigzag_ring_attention",
+    "make_zigzag_attention",
     "zigzag_ring_attention_int8",
     "zigzag_perm",
     "zigzag_local_positions",

@@ -474,3 +474,43 @@ def _zz_i8_bwd(axis_name, sm_scale, config, res, do):
 
 
 zigzag_ring_attention_int8.defvjp(_zz_i8_fwd, _zz_i8_bwd)
+
+
+def make_zigzag_attention(
+    mesh,
+    kind: str = "bf16",
+    sm_scale=None,
+    config: BlockConfig | None = None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    context_axis: str = "context",
+):
+    """Jitted zigzag causal attention on GLOBAL (unpermuted) [b, h, t, d]
+    arrays — batch on data, heads on model, sequence on context. Handles
+    the zigzag permutation and its inverse internally, so it is a drop-in
+    swap for make_ring_attention(causal=True); differentiable (the
+    permutation gathers transpose to scatters under AD). Causal only —
+    non-causal attention has no imbalance for the stripes to fix."""
+    import jax.numpy as _jnp
+    from jax.sharding import PartitionSpec as P
+
+    n = int(mesh.shape[context_axis])
+    spec = P(data_axis, model_axis, context_axis, None)
+    zz = zigzag_ring_attention_int8 if kind == "int8" else zigzag_ring_attention
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+        check_vma=False,
+    )
+    def sharded(q, k, v):
+        return zz(q, k, v, context_axis, sm_scale=sm_scale, config=config)
+
+    fn = jax.jit(sharded)
+
+    def apply(q, k, v):
+        perm = zigzag_perm(n, q.shape[2])
+        inv = _jnp.argsort(perm)
+        o = fn(q[:, :, perm], k[:, :, perm], v[:, :, perm])
+        return o[:, :, inv]
+
+    return apply

@@ -834,3 +834,25 @@ def test_attention_sp_runtime_shape_gate(rng):
     _, step_zz = make_sharded_train_step(mesh, cfg, attention_sp="zigzag")
     with pytest.raises(ValueError, match="cannot shard sequence length"):
         step_zz(params, optimizer.init(params), tokens, targets)
+
+
+def test_make_zigzag_attention_global_api(rng):
+    """The global-array zigzag wrapper (permutation handled internally) is
+    a drop-in for make_ring_attention(causal=True), fwd and grads."""
+    from quantizedattention_tpu.parallel import make_zigzag_attention
+    from quantizedattention_tpu.reference import reference_attention_vjp
+
+    mesh = make_attention_mesh(data=1, model=2, context=4)
+    q, k, v, do = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    fn = make_zigzag_attention(mesh)
+    o = fn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    rep_o = mismatch_report("zigzag global api", o, want, atol=1e-2)
+    assert rep_o.mismatch_rate <= 2e-3, rep_o
+
+    dq, dk, dv = jax.grad(
+        lambda *a: jnp.sum(fn(*a) * do), argnums=(0, 1, 2))(q, k, v)
+    dq_w, dk_w, dv_w = reference_attention_vjp(q, k, v, do, causal=True)
+    for nm, g, w in [("dq", dq, dq_w), ("dk", dk, dk_w), ("dv", dv, dv_w)]:
+        rep_g = mismatch_report(f"zz api {nm}", g, w, atol=2e-2)
+        assert rep_g.mismatch_rate <= 2e-3, rep_g
