@@ -165,3 +165,22 @@ def test_context_sharded_decode_matches_unsharded(rng):
 
     got = sharded(q, cache)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)  # bf16-rate dots
+
+
+def test_decode_attention_head_dim_128_gqa(rng):
+    """d=128 decode with GQA groups — full MXU contraction depth through
+    the lane-aligned scale layout."""
+    from quantizedattention_tpu.parallel.kv_cache import (
+        append_kv, decode_attention, init_kv_cache,
+    )
+    from quantizedattention_tpu.reference import reference_attention
+
+    cache = init_kv_cache(2, 2, 256, 128)
+    k = jax.random.normal(jax.random.key(50), (2, 2, 200, 128))
+    v = jax.random.normal(jax.random.key(51), (2, 2, 200, 128))
+    cache = append_kv(cache, k, v)
+    q = jax.random.normal(jax.random.key(52), (2, 4, 128))  # 4 q / 2 kv heads
+    o = decode_attention(q, cache)
+    k_r, v_r = jnp.repeat(k, 2, axis=1), jnp.repeat(v, 2, axis=1)
+    want = reference_attention(q[:, :, None, :], k_r, v_r, causal=False)[:, :, 0]
+    assert float(jnp.max(jnp.abs(o - want))) < 5e-2
