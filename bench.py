@@ -22,6 +22,7 @@ n data-dependent kernel calls inside one jit and fetches a scalar.
 """
 
 import json
+import subprocess
 import sys
 import time
 
@@ -31,6 +32,36 @@ import jax.numpy as jnp
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def probe_backend(deadline_s: float = 75.0, retries: int = 3) -> bool:
+    """Bounded device-contact probe: the relay can hang jax.devices()
+    indefinitely when it is down (BENCH_r03 was lost to exactly this), so
+    first contact happens in a SUBPROCESS with a hard deadline and a few
+    backed-off retries. Returns True when a device answered; False means the
+    backend is unreachable and the caller should fail fast with a clear
+    message instead of hanging the whole capture."""
+    code = ("import jax; d = jax.devices(); "
+            "import jax.numpy as jnp; "
+            "x = float(jnp.sum(jnp.ones((8, 8)))); "
+            "print(d[0].platform, x)")
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=deadline_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                log(f"backend probe ok: {r.stdout.strip()}")
+                return True
+            log(f"backend probe attempt {attempt + 1}/{retries} failed "
+                f"(rc={r.returncode}): {r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe attempt {attempt + 1}/{retries} timed out "
+                f"after {deadline_s:.0f}s (relay unreachable?)")
+        if attempt < retries - 1:
+            time.sleep(10.0 * (attempt + 1))
+    return False
 
 
 def chained_time(step_fn, q, k, v, n_chain=64, reps=5):
@@ -350,38 +381,69 @@ def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4):
     return total / dt
 
 
-def main():
-    # the reference's canonical shape (detail; its own headline was 0.90x)
-    bench_shape(8, 35, 1024, 64, causal=True)
-    # head_dim 128 (BASELINE config 2 names d=64/128; full MXU contraction
-    # depth — expect well above the d=64 ceiling)
-    bench_shape(8, 16, 1024, 128, causal=True)
-    bench_shape(4, 8, 4096, 128, causal=True)
-    bench_train_step()
-    bench_jvp()
-    per_step_4 = bench_decode()
-    bench_engine()
-    # deeper model: a 12-layer profile where per-layer cache traffic and
-    # host-loop overheads scale differently (round-2 verdict weak #3)
-    per_step_12 = bench_decode(n_layers=12)
-    eng_12 = bench_engine(n_layers=12)
-    log(f"engine-12L vs device-12L step rate: "
-        f"{eng_12 / (8 / per_step_12) * 100:.0f}% of device rate")
-    # BASELINE config 3's upper bound (detail; the SDPA anchor collapses to
-    # ~0.3 TFLOP/s materializing 8192^2 scores while the kernels hold
-    # ~30-38 TFLOP/s -> ~100x; the headline stays at 4096 where the anchor
-    # is still a meaningful comparison)
-    bench_shape(2, 8, 8192, 64, causal=True)
-    # BASELINE config 3's long-sequence regime (headline)
-    t_sdpa, t_bf16, t_int8, ok = bench_shape(4, 16, 4096, 64, causal=True)
+def _section(name, fn, *args, **kwargs):
+    """Run one NON-headline bench section; a failure (transient relay flap,
+    OOM at an exotic shape) logs and moves on instead of killing the whole
+    capture — BENCH_r03 was lost to an all-or-nothing run. The headline
+    section and its accuracy gates are NOT routed through this."""
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 — deliberate capture-resilience
+        log(f"SECTION FAILED ({name}): {type(e).__name__}: {e}")
+        return None
 
+
+def main():
+    if not probe_backend():
+        log("FATAL: no device backend reachable after bounded probes")
+        print(json.dumps({
+            "metric": "int8_attention_speedup_vs_bf16_sdpa_seq4096",
+            "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+            "error": "backend unreachable (probe timed out)",
+        }))
+        sys.exit(1)
+
+    # BASELINE config 3's long-sequence regime — the HEADLINE — runs FIRST:
+    # if the relay flaps mid-run, the claimable number is already banked.
+    t_sdpa, t_bf16, t_int8, ok = bench_shape(4, 16, 4096, 64, causal=True)
     speedup = t_sdpa / t_int8 if ok else 0.0
-    print(json.dumps({
+    headline = json.dumps({
         "metric": "int8_attention_speedup_vs_bf16_sdpa_seq4096",
         "value": round(speedup, 4),
         "unit": "x",
         "vs_baseline": round(speedup / 2.0, 4),
-    }))
+    })
+
+    # the reference's canonical shape (detail; its own headline was 0.90x)
+    _section("ref-shape", bench_shape, 8, 35, 1024, 64, causal=True)
+    # head_dim 128 (BASELINE config 2 names d=64/128; full MXU contraction
+    # depth — expect well above the d=64 ceiling)
+    _section("d128-1k", bench_shape, 8, 16, 1024, 128, causal=True)
+    _section("d128-4k", bench_shape, 4, 8, 4096, 128, causal=True)
+    # train-step A/Bs: seq 2048 (BASELINE config 2) plus the long-sequence
+    # rows where int8's 4x-smaller residual reads should actually show
+    # (round-3 verdict next #5)
+    _section("train-2k", bench_train_step)
+    _section("train-4k", bench_train_step, T=4096)
+    _section("train-8k", bench_train_step, B=2, H=8, T=8192)
+    _section("train-d128", bench_train_step, B=2, H=8, T=4096, D=128)
+    _section("jvp", bench_jvp)
+    per_step_4 = _section("decode-4L", bench_decode)
+    _section("engine-4L", bench_engine)
+    # deeper model: a 12-layer profile where per-layer cache traffic and
+    # host-loop overheads scale differently (round-2 verdict weak #3)
+    per_step_12 = _section("decode-12L", bench_decode, n_layers=12)
+    eng_12 = _section("engine-12L", bench_engine, n_layers=12)
+    if per_step_12 and eng_12:
+        log(f"engine-12L vs device-12L step rate: "
+            f"{eng_12 / (8 / per_step_12) * 100:.0f}% of device rate")
+    # BASELINE config 3's upper bound (detail; the SDPA anchor collapses to
+    # ~0.3 TFLOP/s materializing 8192^2 scores while the kernels hold
+    # ~30-38 TFLOP/s -> ~100x; the headline stays at 4096 where the anchor
+    # is still a meaningful comparison)
+    _section("seq8192", bench_shape, 2, 8, 8192, 64, causal=True)
+
+    print(headline)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,11 @@ def main():
         "value": best_eff,
         "unit": "fraction",
         "vs_baseline": round(best_eff / 0.85, 4),
+        # r03+: value/vs_baseline are ANALYTIC-MODEL predictions (anchored on
+        # measured v5e single-chip rates), not a measurement — unlike the r02
+        # artifact under the same field names. measured_rows is the
+        # functional (emulated-mesh) leg.
+        "vs_baseline_is_model_prediction": True,
         "device_kind": jax.devices()[0].device_kind,
         "analytic": analytic,
         "measured_rows": rows,

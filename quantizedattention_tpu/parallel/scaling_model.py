@@ -270,9 +270,11 @@ def best_sp_variant(
     allow_zigzag: bool = True,
 ) -> str:
     """Predicted-best TRAIN-STEP strategy among those the train step can use
-    ("ring" | "allgather" | "ulysses" — models/sharded_train.py's
-    attention_sp knob). Batch cancels (comm and comp both scale linearly),
-    so it is not needed.
+    ("ring" | "allgather" | "ulysses" | "zigzag" — models/sharded_train.py's
+    attention_sp knob; zigzag is considered only when `allow_zigzag` and the
+    workload is causal, since the striped layout exists to balance causal
+    work). Batch cancels (comm and comp both scale linearly), so it is not
+    needed.
 
     What the model predicts on v5e: ULYSSES dominates causal training
     whenever its head-divisibility constraint allows (causal work is

@@ -102,7 +102,14 @@ class NativeScheduler:
         return self._lib.qa_sched_submit(self._h, request_id, prompt_len, max_new_tokens) == 0
 
     def next_action(self) -> tuple[int, int, int]:
-        """-> (action, request_id, slot); request_id/slot are -1 unless PREFILL."""
+        """-> (action, request_id, slot); request_id/slot are -1 unless PREFILL.
+
+        Contract (the engine's batched-admission loop relies on it, and the
+        C++ scheduler honors it): only a PREFILL return mutates scheduler
+        state (pops the queue, binds a slot). DECODE/IDLE returns are pure
+        reads — a caller may probe next_action and discard a non-PREFILL
+        answer without losing anything.
+        """
         req = ctypes.c_int32(-1)
         slot = ctypes.c_int32(-1)
         act = self._lib.qa_sched_next(self._h, ctypes.byref(req), ctypes.byref(slot))
@@ -163,6 +170,7 @@ class PyScheduler:
         return True
 
     def next_action(self) -> tuple[int, int, int]:
+        # Same contract as NativeScheduler.next_action: only PREFILL mutates.
         if self._waiting:
             for i, s in enumerate(self._slots):
                 if s.request_id < 0:

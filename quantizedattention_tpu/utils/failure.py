@@ -224,9 +224,22 @@ class StepGuard:
         # one scalar makes the host fetch depend on all device results.
         leaves = [leaf for leaf in jax.tree_util.tree_leaves(out)
                   if hasattr(leaf, "dtype")]
-        if leaves:
+        # Only numeric/bool leaves are summable; anything else (e.g. a typed
+        # PRNG key in the step output) falls back to block_until_ready —
+        # weaker on the relay, but those leaves never carry the step's math.
+        summable, rest = [], []
+        for leaf in leaves:
+            if (jnp.issubdtype(leaf.dtype, jnp.number)
+                    or jnp.issubdtype(leaf.dtype, jnp.bool_)):
+                summable.append(leaf)
+            else:
+                rest.append(leaf)
+        for leaf in rest:
+            if hasattr(leaf, "block_until_ready"):
+                leaf.block_until_ready()
+        if summable:
             total = jnp.zeros((), jnp.float32)
-            for leaf in leaves:
+            for leaf in summable:
                 total = total + jnp.sum(leaf).astype(jnp.float32)
             float(total)  # blocks until every contributing step result exists
         dt = time.perf_counter() - t0
