@@ -67,6 +67,7 @@ def _fwd_kernel(
     correction: str,
     beta: float,
     tol: float,
+    rep: int,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -100,66 +101,79 @@ def _fwd_kernel(
     # Two-level kv tiling: the grid/DMA block is block_kv wide, compute runs
     # per block_sub-wide subtile so causal skipping prunes above-diagonal
     # subtiles without shrinking the (overhead-amortizing) DMA blocks.
+    #
+    # GQA (rep > 1): the q block carries the kv head's WHOLE q group
+    # ([rep, block_q, d]); each K/V subtile residency serves all rep groups
+    # (the K/V HBM stream is per kv head, not per q head — rep x less
+    # traffic than repeating KV; grid axis 0 is b·h_kv). The causal mask
+    # depends only on token positions, so it is computed once per subtile
+    # and shared across groups.
     def _subtile(j):
         sub_local = k_local + j * block_sub
         sub_start = k_start + j * block_sub
 
         def _sub_body():
-            q = q_ref[0]
             k = k_ref[0, pl.ds(j * block_sub, block_sub), :]
-            # S = (Q·qk_scale) Kᵀ on the MXU, f32 accumulation.
-            s = jax.lax.dot_general(
-                q,
-                k,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision,
-            )
-
+            v = v_ref[0, pl.ds(j * block_sub, block_sub), :].astype(p_dtype)
             if causal or kv_padded:
-                # Unconditional select: masking only diagonal-crossing tiles
-                # via lax.cond was measured SLOWER (7.2 vs 4.9 ms at seq
-                # 4096) — Mosaic's scf.if breaks the tile pipeline, while the
-                # iota/compare/select chain vectorizes into the exp2 pass.
                 mask = tile_mask(
                     q_start, sub_start, block_q, block_sub, kv_len, causal,
                     k_local_start=sub_local,
                 )
-                s = jnp.where(mask, s, MASK_VALUE)
 
-            m_prev = m_scr[...][:, :1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            if correction == "eps":
-                # zero-cost rule: bias the row max by one bf16 ulp so every P
-                # entry lands strictly below 1.0 (exact-math invariant — any
-                # per-row max bias cancels in the normalization)
-                m_cur = m_cur + EPS_BIAS
-            next_m = jnp.maximum(m_prev, m_cur)
-            if correction == "beta":
-                # reference-parity rule (arXiv:2510.04212): amplify tied
-                # maxima (attention_bf16.py:241-264) — two full-tile passes
-                next_m = amplify_tied_max(s, next_m, beta=beta, tol=tol)
+            for g in range(rep):
+                q = q_ref[0, g]
+                # S = (Q·qk_scale) Kᵀ on the MXU, f32 accumulation.
+                s = jax.lax.dot_general(
+                    q,
+                    k,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision,
+                )
 
-            p = jnp.exp2(s - next_m).astype(p_dtype)
+                if causal or kv_padded:
+                    # Unconditional select: masking only diagonal-crossing
+                    # tiles via lax.cond was measured SLOWER (7.2 vs 4.9 ms
+                    # at seq 4096) — Mosaic's scf.if breaks the tile
+                    # pipeline, while the iota/compare/select chain
+                    # vectorizes into the exp2 pass.
+                    s = jnp.where(mask, s, MASK_VALUE)
 
-            alpha = jnp.exp2(m_prev - next_m)
-            # l sums the *rounded* P (what actually enters the PV matmul), so
-            # the epilogue normalization matches the accumulated mass
-            # (reference: attention_bf16.py:274).
-            l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            l_next = l_scr[...][:, :1] * alpha + l_cur
+                m_prev = m_scr[g][:, :1]
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                if correction == "eps":
+                    # zero-cost rule: bias the row max by one bf16 ulp so
+                    # every P entry lands strictly below 1.0 (exact-math
+                    # invariant — any per-row max bias cancels in the
+                    # normalization)
+                    m_cur = m_cur + EPS_BIAS
+                next_m = jnp.maximum(m_prev, m_cur)
+                if correction == "beta":
+                    # reference-parity rule (arXiv:2510.04212): amplify tied
+                    # maxima (attention_bf16.py:241-264) — two full-tile
+                    # passes
+                    next_m = amplify_tied_max(s, next_m, beta=beta, tol=tol)
 
-            v = v_ref[0, pl.ds(j * block_sub, block_sub), :]
-            pv = jax.lax.dot_general(
-                p,
-                v.astype(p_dtype),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision,
-            )
-            acc_scr[...] = acc_scr[...] * alpha + pv
-            m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
-            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+                p = jnp.exp2(s - next_m).astype(p_dtype)
+
+                alpha = jnp.exp2(m_prev - next_m)
+                # l sums the *rounded* P (what actually enters the PV
+                # matmul), so the epilogue normalization matches the
+                # accumulated mass (reference: attention_bf16.py:274).
+                l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                l_next = l_scr[g][:, :1] * alpha + l_cur
+
+                pv = jax.lax.dot_general(
+                    p,
+                    v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=dot_precision,
+                )
+                acc_scr[g] = acc_scr[g] * alpha + pv
+                m_scr[g] = jnp.broadcast_to(next_m, m_scr.shape[1:])
+                l_scr[g] = jnp.broadcast_to(l_next, l_scr.shape[1:])
 
         if causal:
             # Skip subtiles entirely above the diagonal.
@@ -172,15 +186,18 @@ def _fwd_kernel(
 
     @pl.when(kj == num_kv_blocks - 1)
     def _epilogue():
-        l = l_scr[...][:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        # lse rides with TOKENS ON LANES: a [block_q, 1] column broadcast to
-        # 128 lanes costs 128x the bytes (134 MB at (4,16,4096,64) — measured
-        # as real HBM traffic); transposing to a [8, block_q] row tile writes
-        # 8x tokens instead. The wrapper slices [:, 0, :].
-        lse = m_scr[...][:, :1] + jnp.log2(l_safe)
-        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
+        for g in range(rep):
+            l = l_scr[g][:, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, g] = (acc_scr[g] / l_safe).astype(o_ref.dtype)
+            # lse rides with TOKENS ON LANES: a [block_q, 1] column broadcast
+            # to 128 lanes costs 128x the bytes (134 MB at (4,16,4096,64) —
+            # measured as real HBM traffic); transposing to a [8, block_q]
+            # row tile writes 8x tokens instead. The wrapper slices [:, 0, :].
+            lse = m_scr[g][:, :1] + jnp.log2(l_safe)
+            lse_ref[0, g] = jnp.broadcast_to(
+                lse.reshape(1, -1), lse_ref.shape[2:]
+            )
 
 
 @functools.partial(
@@ -211,7 +228,11 @@ def flash_attention_fwd(
     q_offset: jnp.ndarray | int = 0,
     k_offset: jnp.ndarray | int = 0,
 ):
-    """Flash-attention forward. q/k/v: [batch, head, tokens, head_dim].
+    """Flash-attention forward. q: [batch, head, tokens, head_dim];
+    k/v: [batch, kv_head, kv_tokens, head_dim] with kv_head dividing head —
+    kv_head < head is GQA-NATIVE: K/V stream through VMEM once per kv head
+    and serve the whole q group (never materialize a repeated copy; the
+    repeated-KV path costs rep x the K/V HBM reads, round-3 verdict next #2).
 
     precision: "bf16" rounds P to bf16 for the MXU (the reference's training
     path); "fp32" keeps everything f32 (oracle-grade, used by the JVP family).
@@ -222,7 +243,10 @@ def flash_attention_fwd(
     if interpret is None:
         interpret = use_interpret_mode()
     batch, head, q_tokens, head_dim = q.shape
-    kv_len = k.shape[2]
+    kv_head, kv_len = k.shape[1], k.shape[2]
+    if head % kv_head != 0:
+        raise ValueError(f"q heads ({head}) must be a multiple of kv heads ({kv_head})")
+    rep = head // kv_head
     if config is None:
         config = default_block_config("bf16" if precision == "bf16" else "fp32", q_tokens, kv_len, head_dim)
     block_q, block_kv = config.block_q, config.block_kv
@@ -237,14 +261,19 @@ def flash_attention_fwd(
     _, qk_scale = qk_scales(head_dim, sm_scale)
 
     # pre-scale Q in f32 so the kernel's logits arrive already in the exp2
-    # domain (saves one full [bq, bkv] VPU pass per tile)
+    # domain (saves one full [bq, bkv] VPU pass per tile). Layout: the q
+    # group of each kv head rides as a [rep, block_q, d] block (head index
+    # h = kv_head * rep + g, matching jnp.repeat(k, rep, axis=1) semantics).
+    bh_kv = batch * kv_head
     q_scaled = q.astype(jnp.float32) * qk_scale
-    q3 = pad_tokens(q_scaled.astype(compute_dtype).reshape(batch * head, q_tokens, head_dim), block_q, 1)
-    k3 = pad_tokens(k.astype(compute_dtype).reshape(batch * head, kv_len, head_dim), block_kv, 1)
-    v3 = pad_tokens(v.astype(compute_dtype).reshape(batch * head, kv_len, head_dim), block_kv, 1)
+    q4 = pad_tokens(
+        q_scaled.astype(compute_dtype).reshape(bh_kv, rep, q_tokens, head_dim),
+        block_q, 2,
+    )
+    k3 = pad_tokens(k.astype(compute_dtype).reshape(bh_kv, kv_len, head_dim), block_kv, 1)
+    v3 = pad_tokens(v.astype(compute_dtype).reshape(bh_kv, kv_len, head_dim), block_kv, 1)
 
-    bh = batch * head
-    padded_q, padded_kv = q3.shape[1], k3.shape[1]
+    padded_q, padded_kv = q4.shape[2], k3.shape[1]
     num_q_blocks = cdiv(padded_q, block_q)
     num_kv_blocks = cdiv(padded_kv, block_kv)
 
@@ -264,37 +293,38 @@ def flash_attention_fwd(
         correction=correction,
         beta=beta,
         tol=tol,
+        rep=rep,
     )
 
     o, lse = pl.pallas_call(
         kernel,
-        grid=(bh, num_q_blocks, num_kv_blocks),
+        grid=(bh_kv, num_q_blocks, num_kv_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, rep, block_q, head_dim), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, rep, block_q, head_dim), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, rep, 8, block_q), lambda b, i, j: (b, 0, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, padded_q, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((bh, 8, padded_q), jnp.float32),
+            jax.ShapeDtypeStruct((bh_kv, rep, padded_q, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bh_kv, rep, 8, padded_q), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
+            pltpu.VMEM((rep, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((rep, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((rep, block_q, head_dim), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qoff, koff, q3, k3, v3)
+    )(qoff, koff, q4, k3, v3)
 
-    o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
-    lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)
+    o = o[:, :, :q_tokens].reshape(batch, head, q_tokens, head_dim)
+    lse = lse[:, :, 0, :q_tokens].reshape(batch, head, q_tokens)
     return o, lse
