@@ -64,6 +64,7 @@ def _int8_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, sq_ref, sk_ref, sv_ref,
     lse_ref, di_ref, dk_ref, dv_ref, dk_scr, dv_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_q_blocks, block_q, block_kv,
+    rep,
 ):
     b = pl.program_id(0)
     kj = pl.program_id(1)
@@ -79,27 +80,34 @@ def _int8_dkv_kernel(
     k_start = koff_ref[0] + k_local
 
     def _body():
-        sq = sq_ref[b, qi]
         sk = sk_ref[b, kj]
         sv = sv_ref[b, kj]
-        lse = lse_ref[0][:, :1]
-        di = di_ref[0][:, :1]
-        do = do_ref[0]
-
+        k = k_ref[0]
+        v = v_ref[0]
         mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal,
                          k_local_start=k_local)
-        p = _recompute_p_int8(q_ref[0], k_ref[0], sq, sk, lse, mask, qk_scale)
+        # GQA: one int8 K/V residency serves the whole q group; the group's
+        # dK/dV contributions accumulate in the same kv-tile scratch (the
+        # mathematical dK per kv head sums over its q group).
+        for g in range(rep):
+            sq = sq_ref[b, g, qi]
+            lse = lse_ref[0, g][:, :1]
+            di = di_ref[0, g][:, :1]
+            do = do_ref[0, g]
 
-        # dV += Pᵀ dO: P is near-uniform on typical data, so the contraction
-        # averages dO toward zero and int8 noise would swamp the small signal
-        # — SageAttention3 likewise keeps the dV matmul in half precision
-        # (arXiv:2505.11594); here *all* operands are bf16 (module doc).
-        dv_scr[...] += _bf_dot(p, do, ((0,), (0,)))
-        # dP = dO Vᵀ (contract head_dim); V payload is exact int8-in-bf16
-        dp = _bf_dot(do, v_ref[0], ((1,), (1,))) * sv
-        ds = p * (dp - di) * sm_scale
-        # dK += dSᵀ Q (contract q); Q payload exact, per-block scale sq
-        dk_scr[...] += _bf_dot(ds, q_ref[0], ((0,), (0,))) * sq
+            p = _recompute_p_int8(q_ref[0, g], k, sq, sk, lse, mask, qk_scale)
+
+            # dV += Pᵀ dO: P is near-uniform on typical data, so the
+            # contraction averages dO toward zero and int8 noise would swamp
+            # the small signal — SageAttention3 likewise keeps the dV matmul
+            # in half precision (arXiv:2505.11594); here *all* operands are
+            # bf16 (module doc).
+            dv_scr[...] += _bf_dot(p, do, ((0,), (0,)))
+            # dP = dO Vᵀ (contract head_dim); V payload is exact int8-in-bf16
+            dp = _bf_dot(do, v, ((1,), (1,))) * sv
+            ds = p * (dp - di) * sm_scale
+            # dK += dSᵀ Q (contract q); Q payload exact, per-block scale sq
+            dk_scr[...] += _bf_dot(ds, q_ref[0, g], ((0,), (0,))) * sq
 
     if causal:
         pl.when(q_start + block_q - 1 >= k_start)(_body)
@@ -117,6 +125,7 @@ def _int8_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, sq_ref, sk_ref, sv_ref,
     lse_ref, di_ref, k_mean_ref, dq_ref, dq_scr,
     *, sm_scale, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv,
+    rep,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(1)
@@ -131,24 +140,28 @@ def _int8_dq_kernel(
     k_start = koff_ref[0] + k_local
 
     def _body():
-        sq = sq_ref[b, qi]
         sk = sk_ref[b, kj]
         sv = sv_ref[b, kj]
-        lse = lse_ref[0][:, :1]
-        di = di_ref[0][:, :1]
-
+        k = k_ref[0]
+        v = v_ref[0]
         mask = tile_mask(q_start, k_start, block_q, block_kv, kv_len, causal,
                          k_local_start=k_local)
-        p = _recompute_p_int8(q_ref[0], k_ref[0], sq, sk, lse, mask, qk_scale)
-        dp = _bf_dot(do_ref[0], v_ref[0], ((1,), (1,))) * sv
-        ds = p * (dp - di) * sm_scale
-        # dQ += dS K_smoothed (contract kv; K payload exact int8-in-bf16) ...
-        dq = _bf_dot(ds, k_ref[0], ((1,), (0,))) * sk
-        # ... + rowsum(dS)·k_mean — undoes K-smoothing in the gradient
-        # (dS rows sum to ~0, so this term is a small correction;
-        # SageAttention3).
-        dq += jnp.sum(ds, axis=-1, keepdims=True) * k_mean_ref[0]
-        dq_scr[...] += dq
+        for g in range(rep):  # GQA: one K/V residency serves the q group
+            sq = sq_ref[b, g, qi]
+            lse = lse_ref[0, g][:, :1]
+            di = di_ref[0, g][:, :1]
+
+            p = _recompute_p_int8(q_ref[0, g], k, sq, sk, lse, mask, qk_scale)
+            dp = _bf_dot(do_ref[0, g], v, ((1,), (1,))) * sv
+            ds = p * (dp - di) * sm_scale
+            # dQ += dS K_smoothed (contract kv; K payload exact
+            # int8-in-bf16) ...
+            dq = _bf_dot(ds, k, ((1,), (0,))) * sk
+            # ... + rowsum(dS)·k_mean — undoes K-smoothing in the gradient
+            # (dS rows sum to ~0, so this term is a small correction;
+            # SageAttention3).
+            dq += jnp.sum(ds, axis=-1, keepdims=True) * k_mean_ref[0]
+            dq_scr[g] += dq
 
     if causal:
         pl.when(q_start + block_q - 1 >= k_start)(_body)
@@ -157,7 +170,8 @@ def _int8_dq_kernel(
 
     @pl.when(kj == num_kv_blocks - 1)
     def _epilogue():
-        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+        for g in range(rep):
+            dq_ref[0, g] = dq_scr[g].astype(dq_ref.dtype)
 
 
 @functools.partial(
@@ -179,11 +193,13 @@ def int8_attention_bwd(
 ):
     """INT8 backward from the forward's quantized residuals.
 
-    residuals: ((q_i8, sq), (k_i8, sk), (v_i8, sv)) on padded [b·h, t, d]
-    layouts (k smoothed), as produced by int8_fwd.quantize_qkv.
-    k_mean: [b, h, 1, d] token-mean of the *original* K.
+    residuals: ((q_i8, sq), (k_i8, sk), (v_i8, sv)) on padded [b·h, t, d] /
+    [b·h_kv, t, d] layouts (k smoothed), as produced by int8_fwd.quantize_qkv.
+    GQA (h_kv < h): dk/dv come back on the kv-head count, group-summed
+    inside the dKV kernel.
+    k_mean: [b, h_kv, 1, d] token-mean of the *original* K.
     dims: (batch, head, q_tokens, kv_len, head_dim).
-    Returns (dq, dk, dv) in f32 on [b, h, t, d].
+    Returns (dq, dk, dv) in f32 on [b, h(, h_kv), t, d].
     """
     if interpret is None:
         interpret = use_interpret_mode()
@@ -193,6 +209,11 @@ def int8_attention_bwd(
     sm_scale, qk_scale = qk_scales(head_dim, sm_scale)
 
     bh = batch * head
+    bh_kv = k_i8.shape[0]
+    if bh % bh_kv != 0:
+        raise ValueError(f"q rows ({bh}) must be a multiple of kv rows ({bh_kv})")
+    rep = bh // bh_kv
+    kv_head = bh_kv // batch
     f32 = jnp.float32
     padded_q, padded_kv = q_i8.shape[1], k_i8.shape[1]
     # The backward reuses the forward's quantization, so its tiling is pinned
@@ -206,16 +227,15 @@ def int8_attention_bwd(
     num_q_blocks = cdiv(padded_q, block_q)
     num_kv_blocks = cdiv(padded_kv, block_kv)
 
-    do3 = pad_tokens(do.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
-    o3 = pad_tokens(o.astype(f32).reshape(bh, q_tokens, head_dim), block_q, 1)
+    do4 = pad_tokens(do.astype(f32).reshape(bh_kv, rep, q_tokens, head_dim), block_q, 2)
+    o4 = pad_tokens(o.astype(f32).reshape(bh_kv, rep, q_tokens, head_dim), block_q, 2)
 
-    di = jnp.sum(do3 * o3, axis=-1)
+    di = jnp.sum(do4 * o4, axis=-1)
     di_b = jnp.broadcast_to(di[..., None], (*di.shape, _LANES))
-    lse3 = pad_tokens(lse.astype(f32).reshape(bh, q_tokens), block_q, 1)
-    lse_b = jnp.broadcast_to(lse3[..., None], (*lse3.shape, _LANES))
-    k_mean3 = jnp.broadcast_to(
-        k_mean.astype(f32).reshape(batch * head, 1, head_dim), (bh, 1, head_dim)
-    )
+    lse4 = pad_tokens(lse.astype(f32).reshape(bh_kv, rep, q_tokens), block_q, 2)
+    lse_b = jnp.broadcast_to(lse4[..., None], (*lse4.shape, _LANES))
+    k_mean3 = k_mean.astype(f32).reshape(bh_kv, 1, head_dim)
+    q_i8_4 = q_i8.reshape(bh_kv, rep, padded_q, head_dim)
 
     common = dict(
         sm_scale=sm_scale,
@@ -224,27 +244,29 @@ def int8_attention_bwd(
         kv_len=kv_len,
         block_q=block_q,
         block_kv=block_kv,
+        rep=rep,
     )
 
-    sq_f32, sk_f32, sv_f32 = sq.astype(f32), sk.astype(f32), sv.astype(f32)
+    sq_f32 = sq.astype(f32).reshape(bh_kv, rep, -1)
+    sk_f32, sv_f32 = sk.astype(f32), sv.astype(f32)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
     koff = jnp.asarray(k_offset, jnp.int32).reshape(1)
 
-    # --- dKV pass: grid (bh, kv, q) ---
-    q_spec = pl.BlockSpec((1, block_q, head_dim), lambda b, j, i: (b, i, 0))
+    # --- dKV pass: grid (bh_kv, kv, q) ---
+    q_spec = pl.BlockSpec((1, rep, block_q, head_dim), lambda b, j, i: (b, 0, i, 0))
     kv_spec = pl.BlockSpec((1, block_kv, head_dim), lambda b, j, i: (b, j, 0))
-    lane_spec = pl.BlockSpec((1, block_q, _LANES), lambda b, j, i: (b, i, 0))
+    lane_spec = pl.BlockSpec((1, rep, block_q, _LANES), lambda b, j, i: (b, 0, i, 0))
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     dk, dv = pl.pallas_call(
         functools.partial(_int8_dkv_kernel, num_q_blocks=num_q_blocks, **common),
-        grid=(bh, num_kv_blocks, num_q_blocks),
+        grid=(bh_kv, num_kv_blocks, num_q_blocks),
         in_specs=[smem_spec, smem_spec, q_spec, kv_spec, kv_spec, q_spec,
                   smem_spec, smem_spec, smem_spec, lane_spec, lane_spec],
         out_specs=[kv_spec, kv_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, padded_kv, head_dim), f32),
-            jax.ShapeDtypeStruct((bh, padded_kv, head_dim), f32),
+            jax.ShapeDtypeStruct((bh_kv, padded_kv, head_dim), f32),
+            jax.ShapeDtypeStruct((bh_kv, padded_kv, head_dim), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, head_dim), f32),
@@ -254,30 +276,30 @@ def int8_attention_bwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qoff, koff, q_i8, k_i8, v_i8, do3, sq_f32, sk_f32, sv_f32, lse_b, di_b)
+    )(qoff, koff, q_i8_4, k_i8, v_i8, do4, sq_f32, sk_f32, sv_f32, lse_b, di_b)
 
-    # --- dQ pass: grid (bh, q, kv) ---
-    q_spec_q = pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0))
+    # --- dQ pass: grid (bh_kv, q, kv) ---
+    q_spec_q = pl.BlockSpec((1, rep, block_q, head_dim), lambda b, i, j: (b, 0, i, 0))
     kv_spec_q = pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0))
-    lane_spec_q = pl.BlockSpec((1, block_q, _LANES), lambda b, i, j: (b, i, 0))
+    lane_spec_q = pl.BlockSpec((1, rep, block_q, _LANES), lambda b, i, j: (b, 0, i, 0))
     km_spec = pl.BlockSpec((1, 1, head_dim), lambda b, i, j: (b, 0, 0))
 
     (dq,) = pl.pallas_call(
         functools.partial(_int8_dq_kernel, num_kv_blocks=num_kv_blocks, **common),
-        grid=(bh, num_q_blocks, num_kv_blocks),
+        grid=(bh_kv, num_q_blocks, num_kv_blocks),
         in_specs=[smem_spec, smem_spec, q_spec_q, kv_spec_q, kv_spec_q,
                   q_spec_q, smem_spec, smem_spec, smem_spec, lane_spec_q,
                   lane_spec_q, km_spec],
         out_specs=[q_spec_q],
-        out_shape=[jax.ShapeDtypeStruct((bh, padded_q, head_dim), f32)],
-        scratch_shapes=[pltpu.VMEM((block_q, head_dim), f32)],
+        out_shape=[jax.ShapeDtypeStruct((bh_kv, rep, padded_q, head_dim), f32)],
+        scratch_shapes=[pltpu.VMEM((rep, block_q, head_dim), f32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qoff, koff, q_i8, k_i8, v_i8, do3, sq_f32, sk_f32, sv_f32, lse_b, di_b, k_mean3)
+    )(qoff, koff, q_i8_4, k_i8, v_i8, do4, sq_f32, sk_f32, sv_f32, lse_b, di_b, k_mean3)
 
-    dq = dq[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
-    dk = dk[:, :kv_len].reshape(batch, head, kv_len, head_dim)
-    dv = dv[:, :kv_len].reshape(batch, head, kv_len, head_dim)
+    dq = dq[:, :, :q_tokens].reshape(batch, head, q_tokens, head_dim)
+    dk = dk[:, :kv_len].reshape(batch, kv_head, kv_len, head_dim)
+    dv = dv[:, :kv_len].reshape(batch, kv_head, kv_len, head_dim)
     return dq, dk, dv

@@ -69,6 +69,7 @@ def _int8_fwd_kernel(
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv, block_sub,
+    rep,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(1)
@@ -90,72 +91,85 @@ def _int8_fwd_kernel(
     # Two-level kv tiling (see flash_fwd): DMA at block_kv, compute and
     # causal-skip at block_sub granularity. One scale per DMA block (the
     # quantization granularity) covers all of its subtiles.
-    q_bf = q_ref[0].astype(jnp.bfloat16)
+    #
+    # GQA (rep > 1): grid axis 0 is b·h_kv; the q block carries the kv
+    # head's whole q group [rep, block_q, d] and every K/V subtile residency
+    # serves all rep groups — the int8 K/V payloads AND their scale tables
+    # exist once per kv head (rep x less quantize work + HBM traffic than
+    # quantizing a repeated copy).
+    q_bf = [q_ref[0, g].astype(jnp.bfloat16) for g in range(rep)]
 
     def _subtile(j):
         sub_start = k_start + j * block_sub
         sub_local = kj * block_kv + j * block_sub  # shard-local, for padding
 
         def _sub_body():
-            sq = sq_ref[b, qi]
             # K/V are quantized at block_sub (compute-subtile) granularity so
             # the backward can tile independently of the (large, DMA-sized)
             # block_kv; the scale table is indexed by absolute subtile.
             sk = sk_ref[b, kj * (block_kv // block_sub) + j]
             sv = sv_ref[b, kj * (block_kv // block_sub) + j]
-            # per-(q-block, k-block) dequant scale; c > 0, so masking and the
-            # row max can run in the RAW int-product domain and the scale
-            # folds into the exp2 operand chain (mul+sub+exp2 fuse into one
-            # VPU pass) — the int8 kernel then runs the same number of
-            # full-tile VPU passes as the bf16 kernel, where a standalone
-            # `s = qk * c` dequant pass measurably lost the race to it.
-            c = sq * sk * qk_scale
 
-            k_sub = k_ref[0, pl.ds(j * block_sub, block_sub), :]
-            qk = jax.lax.dot_general(
-                q_bf, k_sub.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-            # masked logits underflow to 0 through exp2; junk rows self-heal
-            # via alpha underflow (see flash_fwd), one where-pass suffices.
-            # The raw-domain sentinel must be SCALE-AWARE: a fixed raw value
-            # scaled by a tiny c (small-magnitude Q/K blocks, e.g. early
-            # training) would not underflow and masked positions would leak
-            # probability. -MASK/c makes the scaled logit exactly -MASK for
-            # every c > 0 (c >= ~1e-14 by the quantizer's 1e-12/127 scale
-            # floor, so -MASK/c stays finite in f32).
+            k_sub = k_ref[0, pl.ds(j * block_sub, block_sub), :].astype(jnp.bfloat16)
+            v_sub = v_ref[0, pl.ds(j * block_sub, block_sub), :].astype(jnp.bfloat16)
             if causal or kv_padded:
                 mask = tile_mask(q_start, sub_start, block_q, block_sub,
                                  kv_len, causal, k_local_start=sub_local)
-                qk = jnp.where(mask, qk, 30000.0 / -c)
 
-            m_prev = m_scr[...][:, :1]
-            # scaled row max via a cheap [bq,1] column op; EPS_BIAS keeps the
-            # top bf16 P entry strictly below 1.0 (same rule as flash_fwd).
-            row_max = jnp.max(qk, axis=-1, keepdims=True) * c + EPS_BIAS
-            next_m = jnp.maximum(m_prev, row_max)
+            for g in range(rep):
+                sq = sq_ref[b, g, qi]
+                # per-(q-block, k-block) dequant scale; c > 0, so masking and
+                # the row max can run in the RAW int-product domain and the
+                # scale folds into the exp2 operand chain (mul+sub+exp2 fuse
+                # into one VPU pass) — the int8 kernel then runs the same
+                # number of full-tile VPU passes as the bf16 kernel, where a
+                # standalone `s = qk * c` dequant pass measurably lost the
+                # race to it.
+                c = sq * sk * qk_scale
 
-            # P stays bf16 (module doc: no rate gain from int8 P on the MXU);
-            # l sums the *rounded* P that enters the PV matmul so the epilogue
-            # normalization matches the accumulated mass.
-            p = jnp.exp2(qk * c - next_m).astype(jnp.bfloat16)
+                qk = jax.lax.dot_general(
+                    q_bf[g], k_sub,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-            alpha = jnp.exp2(m_prev - next_m)
-            l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            l_next = l_scr[...][:, :1] * alpha + l_cur
+                # masked logits underflow to 0 through exp2; junk rows
+                # self-heal via alpha underflow (see flash_fwd), one
+                # where-pass suffices. The raw-domain sentinel must be
+                # SCALE-AWARE: a fixed raw value scaled by a tiny c
+                # (small-magnitude Q/K blocks, e.g. early training) would not
+                # underflow and masked positions would leak probability.
+                # -MASK/c makes the scaled logit exactly -MASK for every
+                # c > 0 (c >= ~1e-14 by the quantizer's 1e-12/127 scale
+                # floor, so -MASK/c stays finite in f32).
+                if causal or kv_padded:
+                    qk = jnp.where(mask, qk, 30000.0 / -c)
 
-            v_sub = v_ref[0, pl.ds(j * block_sub, block_sub), :]
-            pv = jax.lax.dot_general(
-                p, v_sub.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_scr[...] = acc_scr[...] * alpha + pv * sv
+                m_prev = m_scr[g][:, :1]
+                # scaled row max via a cheap [bq,1] column op; EPS_BIAS keeps
+                # the top bf16 P entry strictly below 1.0 (same rule as
+                # flash_fwd).
+                row_max = jnp.max(qk, axis=-1, keepdims=True) * c + EPS_BIAS
+                next_m = jnp.maximum(m_prev, row_max)
 
-            m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
-            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+                # P stays bf16 (module doc: no rate gain from int8 P on the
+                # MXU); l sums the *rounded* P that enters the PV matmul so
+                # the epilogue normalization matches the accumulated mass.
+                p = jnp.exp2(qk * c - next_m).astype(jnp.bfloat16)
+
+                alpha = jnp.exp2(m_prev - next_m)
+                l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                l_next = l_scr[g][:, :1] * alpha + l_cur
+
+                pv = jax.lax.dot_general(
+                    p, v_sub,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[g] = acc_scr[g] * alpha + pv * sv
+
+                m_scr[g] = jnp.broadcast_to(next_m, m_scr.shape[1:])
+                l_scr[g] = jnp.broadcast_to(l_next, l_scr.shape[1:])
 
         if causal:
             pl.when(q_start + block_q - 1 >= sub_start)(_sub_body)
@@ -167,12 +181,15 @@ def _int8_fwd_kernel(
 
     @pl.when(kj == num_kv_blocks - 1)
     def _epilogue():
-        l = l_scr[...][:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        # tokens-on-lanes lse layout — see flash_fwd epilogue
-        lse = m_scr[...][:, :1] + jnp.log2(l_safe)
-        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
+        for g in range(rep):
+            l = l_scr[g][:, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, g] = (acc_scr[g] / l_safe).astype(o_ref.dtype)
+            # tokens-on-lanes lse layout — see flash_fwd epilogue
+            lse = m_scr[g][:, :1] + jnp.log2(l_safe)
+            lse_ref[0, g] = jnp.broadcast_to(
+                lse.reshape(1, -1), lse_ref.shape[2:]
+            )
 
 
 def _int8_fused_kernel(
@@ -182,7 +199,7 @@ def _int8_fused_kernel(
     m_scr, l_scr, acc_scr,
     q_scr, sq_scr, k_scr, v_scr, sk_scr, sv_scr,
     *, qk_scale, causal, kv_len, num_kv_blocks, block_q, block_kv, block_sub,
-    reuse_kv, smooth_k,
+    reuse_kv, smooth_k, rep,
 ):
     """Inference-mode int8 forward: quantization runs IN-KERNEL on the
     VMEM-resident tiles (the reference's own structure,
@@ -203,6 +220,10 @@ def _int8_fused_kernel(
 
     The qi grid axis is declared "arbitrary" (sequential) when reuse_kv:
     the scratch carries state from qi==0 to later q-blocks.
+
+    GQA (rep > 1): grid axis 0 is b·h_kv; the whole q group quantizes into a
+    [rep, block_q, d] scratch with per-group scales, and every quantized K/V
+    subtile serves all rep groups (quantize work per kv head, not q head).
     """
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -218,12 +239,13 @@ def _int8_fused_kernel(
         # Q quantizes once per q-block (the tile stays resident across kj —
         # its block index is kj-invariant); integer payload stored as bf16,
         # ready for the MXU
-        q_raw = q_ref[0].astype(jnp.float32)
-        sq = jnp.maximum(jnp.max(jnp.abs(q_raw)), 1e-12) / 127.0
-        q_scr[...] = jnp.clip(jnp.round(q_raw / sq), -127.0, 127.0).astype(
-            jnp.bfloat16
-        )
-        sq_scr[0] = sq
+        for g in range(rep):
+            q_raw = q_ref[0, g].astype(jnp.float32)
+            sq = jnp.maximum(jnp.max(jnp.abs(q_raw)), 1e-12) / 127.0
+            q_scr[g] = jnp.clip(jnp.round(q_raw / sq), -127.0, 127.0).astype(
+                jnp.bfloat16
+            )
+            sq_scr[g] = sq
 
     q_start = qoff_ref[0] + qi * block_q
     k_start = koff_ref[0] + kj * block_kv
@@ -257,37 +279,42 @@ def _int8_fused_kernel(
         def _sub_body():
             src = (kj * block_kv + j * block_sub) if reuse_kv else (j * block_sub)
             row = (kj * n_sub + j) if reuse_kv else j
-            sq = sq_scr[0]
             sk = sk_scr[row]
             sv = sv_scr[row]
-            c = sq * sk * qk_scale  # > 0 (1e-12/127 scale floor)
-
-            qk = jax.lax.dot_general(
-                q_scr[...], k_scr[pl.ds(src, block_sub), :],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # raw-domain scale-aware mask sentinel — see _int8_fwd_kernel
+            k_sub = k_scr[pl.ds(src, block_sub), :]
+            v_sub = v_scr[pl.ds(src, block_sub), :]
             if causal or kv_padded:
                 mask = tile_mask(q_start, sub_start, block_q, block_sub,
                                  kv_len, causal, k_local_start=sub_local)
-                qk = jnp.where(mask, qk, 30000.0 / -c)
 
-            m_prev = m_scr[...][:, :1]
-            row_max = jnp.max(qk, axis=-1, keepdims=True) * c + EPS_BIAS
-            next_m = jnp.maximum(m_prev, row_max)
-            p = jnp.exp2(qk * c - next_m).astype(jnp.bfloat16)
-            alpha = jnp.exp2(m_prev - next_m)
-            l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            l_next = l_scr[...][:, :1] * alpha + l_cur
-            pv = jax.lax.dot_general(
-                p, v_scr[pl.ds(src, block_sub), :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_scr[...] = acc_scr[...] * alpha + pv * sv
-            m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
-            l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+            for g in range(rep):
+                sq = sq_scr[g]
+                c = sq * sk * qk_scale  # > 0 (1e-12/127 scale floor)
+
+                qk = jax.lax.dot_general(
+                    q_scr[g], k_sub,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # raw-domain scale-aware mask sentinel — see _int8_fwd_kernel
+                if causal or kv_padded:
+                    qk = jnp.where(mask, qk, 30000.0 / -c)
+
+                m_prev = m_scr[g][:, :1]
+                row_max = jnp.max(qk, axis=-1, keepdims=True) * c + EPS_BIAS
+                next_m = jnp.maximum(m_prev, row_max)
+                p = jnp.exp2(qk * c - next_m).astype(jnp.bfloat16)
+                alpha = jnp.exp2(m_prev - next_m)
+                l_cur = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                l_next = l_scr[g][:, :1] * alpha + l_cur
+                pv = jax.lax.dot_general(
+                    p, v_sub,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc_scr[g] = acc_scr[g] * alpha + pv * sv
+                m_scr[g] = jnp.broadcast_to(next_m, m_scr.shape[1:])
+                l_scr[g] = jnp.broadcast_to(l_next, l_scr.shape[1:])
 
         if causal:
             pl.when(q_start + block_q - 1 >= sub_start)(_sub_body)
@@ -305,11 +332,14 @@ def _int8_fused_kernel(
 
     @pl.when(kj == num_kv_blocks - 1)
     def _epilogue():
-        l = l_scr[...][:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
-        lse = m_scr[...][:, :1] + jnp.log2(l_safe)
-        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, -1), lse_ref.shape[1:])
+        for g in range(rep):
+            l = l_scr[g][:, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, g] = (acc_scr[g] / l_safe).astype(o_ref.dtype)
+            lse = m_scr[g][:, :1] + jnp.log2(l_safe)
+            lse_ref[0, g] = jnp.broadcast_to(
+                lse.reshape(1, -1), lse_ref.shape[2:]
+            )
 
 
 @functools.partial(
@@ -338,7 +368,10 @@ def int8_attention_fwd_fused(
     if interpret is None:
         interpret = use_interpret_mode()
     batch, head, q_tokens, head_dim = q.shape
-    kv_len = k.shape[2]
+    kv_head, kv_len = k.shape[1], k.shape[2]
+    if head % kv_head != 0:
+        raise ValueError(f"q heads ({head}) must be a multiple of kv heads ({kv_head})")
+    rep = head // kv_head
     if config is None:
         config = default_block_config("int8", q_tokens, kv_len, head_dim)
     block_q = config.block_q
@@ -353,11 +386,11 @@ def int8_attention_fwd_fused(
     block_kv = min(config.block_kv, max(block_sub, 1024))
     _, qk_scale = qk_scales(head_dim, sm_scale)
 
-    bh = batch * head
-    q3 = pad_tokens(q.reshape(bh, q_tokens, head_dim), block_q, 1)
-    k3 = pad_tokens(k.reshape(bh, kv_len, head_dim), block_kv, 1)
-    v3 = pad_tokens(v.reshape(bh, kv_len, head_dim), block_kv, 1)
-    padded_q, padded_kv = q3.shape[1], k3.shape[1]
+    bh_kv = batch * kv_head
+    q4 = pad_tokens(q.reshape(bh_kv, rep, q_tokens, head_dim), block_q, 2)
+    k3 = pad_tokens(k.reshape(bh_kv, kv_len, head_dim), block_kv, 1)
+    v3 = pad_tokens(v.reshape(bh_kv, kv_len, head_dim), block_kv, 1)
+    padded_q, padded_kv = q4.shape[2], k3.shape[1]
     num_q_blocks = cdiv(padded_q, block_q)
     num_kv_blocks = cdiv(padded_kv, block_kv)
 
@@ -369,9 +402,9 @@ def int8_attention_fwd_fused(
 
     smooth_k = k_sub is not None
     if smooth_k:
-        ksub3 = k_sub.reshape(bh, 1, head_dim)
+        ksub3 = k_sub.reshape(bh_kv, 1, head_dim)
     else:
-        ksub3 = jnp.zeros((bh, 1, head_dim), k3.dtype)
+        ksub3 = jnp.zeros((bh_kv, 1, head_dim), k3.dtype)
 
     kernel = functools.partial(
         _int8_fused_kernel,
@@ -384,6 +417,7 @@ def int8_attention_fwd_fused(
         block_sub=block_sub,
         reuse_kv=reuse_kv,
         smooth_k=smooth_k,
+        rep=rep,
     )
 
     qoff = jnp.zeros((1,), jnp.int32)
@@ -401,29 +435,29 @@ def int8_attention_fwd_fused(
 
     o, lse = pl.pallas_call(
         kernel,
-        grid=(bh, num_q_blocks, num_kv_blocks),
+        grid=(bh_kv, num_q_blocks, num_kv_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, rep, block_q, head_dim), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, block_kv, head_dim), kv_map),
             pl.BlockSpec((1, block_kv, head_dim), kv_map),
             pl.BlockSpec((1, 1, head_dim), lambda b, i, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, rep, block_q, head_dim), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, rep, 8, block_q), lambda b, i, j: (b, 0, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, padded_q, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((bh, 8, padded_q), jnp.float32),
+            jax.ShapeDtypeStruct((bh_kv, rep, padded_q, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bh_kv, rep, 8, padded_q), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.bfloat16),
-            pltpu.SMEM((1,), jnp.float32),
+            pltpu.VMEM((rep, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((rep, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((rep, block_q, head_dim), jnp.float32),
+            pltpu.VMEM((rep, block_q, head_dim), jnp.bfloat16),
+            pltpu.SMEM((rep,), jnp.float32),
             pltpu.VMEM((scr_tokens, head_dim), jnp.bfloat16),
             pltpu.VMEM((scr_tokens, head_dim), jnp.bfloat16),
             pltpu.SMEM((n_scales,), jnp.float32),
@@ -439,10 +473,10 @@ def int8_attention_fwd_fused(
             ),
         ),
         interpret=interpret,
-    )(qoff, koff, q3, k3, v3, ksub3)
+    )(qoff, koff, q4, k3, v3, ksub3)
 
-    o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
-    lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)
+    o = o[:, :, :q_tokens].reshape(batch, head, q_tokens, head_dim)
+    lse = lse[:, :, 0, :q_tokens].reshape(batch, head, q_tokens)
     return o, lse
 
 
@@ -539,6 +573,10 @@ def int8_attention_fwd_from_quantized(
 ):
     """Run the int8 forward from pre-quantized blocks (KV-cache reuse path).
 
+    GQA: when k_i8/sk carry fewer (b·h_kv) rows than q_i8/sq (b·h), the q
+    group of each kv head folds into the grid cell — unrepeated int8 K/V
+    payloads and scales stream once per kv head.
+
     q_offset/k_offset: global token positions of the local q / kv shards
     (causal masking across sequence shards, as in flash_fwd)."""
     if interpret is None:
@@ -551,6 +589,10 @@ def int8_attention_fwd_from_quantized(
     _, qk_scale = qk_scales(head_dim, sm_scale)
 
     bh = batch * head
+    bh_kv = k_i8.shape[0]
+    if bh % bh_kv != 0:
+        raise ValueError(f"q rows ({bh}) must be a multiple of kv rows ({bh_kv})")
+    rep = bh // bh_kv
     padded_q, padded_kv = q_i8.shape[1], k_i8.shape[1]
     num_q_blocks = cdiv(padded_q, block_q)
     num_kv_blocks = cdiv(padded_kv, block_kv)
@@ -564,9 +606,11 @@ def int8_attention_fwd_from_quantized(
         block_q=block_q,
         block_kv=block_kv,
         block_sub=min(config.kv_compute, block_kv),
+        rep=rep,
     )
 
-    sq_f32 = sq.astype(jnp.float32)
+    q_i8_4 = q_i8.reshape(bh_kv, rep, padded_q, head_dim)
+    sq_f32 = sq.astype(jnp.float32).reshape(bh_kv, rep, -1)
     sk_f32 = sk.astype(jnp.float32)
     sv_f32 = sv.astype(jnp.float32)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
@@ -574,11 +618,11 @@ def int8_attention_fwd_from_quantized(
 
     o, lse = pl.pallas_call(
         kernel,
-        grid=(bh, num_q_blocks, num_kv_blocks),
+        grid=(bh_kv, num_q_blocks, num_kv_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, rep, block_q, head_dim), lambda b, i, j: (b, 0, i, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_kv, head_dim), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -586,24 +630,24 @@ def int8_attention_fwd_from_quantized(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, head_dim), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, rep, block_q, head_dim), lambda b, i, j: (b, 0, i, 0)),
+            pl.BlockSpec((1, rep, 8, block_q), lambda b, i, j: (b, 0, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, padded_q, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((bh, 8, padded_q), jnp.float32),
+            jax.ShapeDtypeStruct((bh_kv, rep, padded_q, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((bh_kv, rep, 8, padded_q), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
+            pltpu.VMEM((rep, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((rep, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((rep, block_q, head_dim), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qoff, koff, q_i8, k_i8, v_i8, sq_f32, sk_f32, sv_f32)
+    )(qoff, koff, q_i8_4, k_i8, v_i8, sq_f32, sk_f32, sv_f32)
 
-    o = o[:, :q_tokens].reshape(batch, head, q_tokens, head_dim)
-    lse = lse[:, 0, :q_tokens].reshape(batch, head, q_tokens)
+    o = o[:, :, :q_tokens].reshape(batch, head, q_tokens, head_dim)
+    lse = lse[:, :, 0, :q_tokens].reshape(batch, head, q_tokens)
     return o, lse
