@@ -177,6 +177,88 @@ def bench_shape(B, H, T, D, causal=True, accuracy=True):
     return t_sdpa, t_bf16, min(t_int8, t_int8f), ok
 
 
+def bench_gqa(B=4, H=16, HKV=4, T=4096, D=64):
+    """GQA-native (unrepeated KV) vs repeat-at-boundary A/B (stderr detail).
+
+    The GQA kernels stream K/V once per kv head and quantize per kv head
+    (round-3 verdict next #2); the repeated path materializes a rep x K/V
+    copy in HBM first. Rows: bf16 fwd, fused int8 fwd, bf16 fwd+bwd.
+    """
+    from quantizedattention_tpu.ops.api import flash_attention_bf16
+    from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
+    from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd_fused
+
+    rep = H // HKV
+    kq, kk, kv, kd = jax.random.split(jax.random.key(5), 4)
+    q = jax.random.normal(kq, (B, H, T, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, HKV, T, D), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, HKV, T, D), jnp.bfloat16)
+
+    def gqa_step(q_, k_, v_):
+        return flash_attention_fwd(q_, k_, v_, causal=True)[0].astype(q_.dtype)
+
+    def rep_step(q_, k_, v_):
+        kr = jnp.repeat(k_, rep, axis=1)
+        vr = jnp.repeat(v_, rep, axis=1)
+        return flash_attention_fwd(q_, kr, vr, causal=True)[0].astype(q_.dtype)
+
+    def gqa_i8(q_, k_, v_):
+        return int8_attention_fwd_fused(q_, k_, v_, causal=True)[0].astype(q_.dtype)
+
+    def rep_i8(q_, k_, v_):
+        kr = jnp.repeat(k_, rep, axis=1)
+        vr = jnp.repeat(v_, rep, axis=1)
+        return int8_attention_fwd_fused(q_, kr, vr, causal=True)[0].astype(q_.dtype)
+
+    t_g = chained_time(gqa_step, q, k, v)
+    t_r = chained_time(rep_step, q, k, v)
+    t_gi = chained_time(gqa_i8, q, k, v)
+    t_ri = chained_time(rep_i8, q, k, v)
+    flops = 2 * 2 * B * H * T * T * D * 0.5
+
+    log(f"--- GQA A/B shape=({B},{H}q/{HKV}kv,{T},{D}) causal (rep={rep}) ---")
+    log(f"bf16 fwd  GQA-native : {t_g*1e3:8.3f} ms  {flops/t_g/1e12:6.1f} TFLOP/s")
+    log(f"bf16 fwd  repeated KV: {t_r*1e3:8.3f} ms  {flops/t_r/1e12:6.1f} TFLOP/s"
+        f"  (native {t_r/t_g:.2f}x)")
+    log(f"int8 fwd  GQA-native : {t_gi*1e3:8.3f} ms  {flops/t_gi/1e12:6.1f} TFLOP/s")
+    log(f"int8 fwd  repeated KV: {t_ri*1e3:8.3f} ms  {flops/t_ri/1e12:6.1f} TFLOP/s"
+        f"  (native {t_ri/t_gi:.2f}x)")
+
+    # fwd+bwd: GQA-native custom_vjp vs repeated-KV custom_vjp
+    do = jax.random.normal(kd, (B, H, T, D), jnp.float32)
+
+    def timed_grad(loss_fn, reps=5, n=32):
+        grad = jax.grad(loss_fn, argnums=(0, 1, 2))
+
+        @jax.jit
+        def ch(a, k_, v_, do_):
+            def body(i, acc):
+                gq, gk, gv = grad(acc, k_, v_, do_)
+                return acc + (1e-20 * (gq + gk.sum(1, keepdims=True)
+                                       + gv.sum(1, keepdims=True))).astype(acc.dtype)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, a).astype(jnp.float32))
+
+        float(ch(q, k, v, do))
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(ch(q, k, v, do))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2] / n
+
+    t_tg = timed_grad(lambda a, b_, c_, d_: jnp.vdot(
+        flash_attention_bf16(a, b_, c_, causal=True), d_))
+    t_tr = timed_grad(lambda a, b_, c_, d_: jnp.vdot(
+        flash_attention_bf16(a, jnp.repeat(b_, rep, 1), jnp.repeat(c_, rep, 1),
+                             causal=True), d_))
+    tflops = flops * 3.5
+    log(f"bf16 f+b  GQA-native : {t_tg*1e3:8.3f} ms  {tflops/t_tg/1e12:6.1f} TFLOP/s")
+    log(f"bf16 f+b  repeated KV: {t_tr*1e3:8.3f} ms  {tflops/t_tr/1e12:6.1f} TFLOP/s"
+        f"  (native {t_tr/t_tg:.2f}x)")
+    return t_g, t_r
+
+
 def bench_train_step(B=4, H=16, T=2048, D=64):
     """fwd+bwd comparison at BASELINE config 2's shape (stderr detail)."""
     from quantizedattention_tpu.ops.api import flash_attention_bf16
@@ -378,6 +460,15 @@ def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4):
         f"horizon {horizon}, {n_layers}L model (pipelined) ---")
     log(f"{total} tokens in {dt:.3f}s -> {total/dt:,.0f} tokens/s "
         f"(incl. prefills + host scheduling through the relay)")
+    led = eng.ledger()
+    if led.get("wall_s"):
+        # host-time decomposition (round-4 verdict #6): where the wall
+        # clock beyond pure device stepping actually goes
+        log(f"ledger: {led['dispatches']} dispatches ({led['dispatch_s']:.3f}s) "
+            f"+ {led['fetches']} fetch batches ({led['fetch_s']:.3f}s) "
+            f"+ host/sched {led['other_host_s']:.3f}s = {led['wall_s']:.3f}s "
+            f"for {led['tokens']} tokens "
+            f"({led['fetch_s']/max(led['fetches'],1)*1e3:.1f} ms/fetch)")
     return total / dt
 
 
@@ -420,6 +511,8 @@ def main():
     # depth — expect well above the d=64 ceiling)
     _section("d128-1k", bench_shape, 8, 16, 1024, 128, causal=True)
     _section("d128-4k", bench_shape, 4, 8, 4096, 128, causal=True)
+    # GQA A/B: unrepeated-KV kernels vs the repeat-at-boundary path
+    _section("gqa", bench_gqa)
     # train-step A/Bs: seq 2048 (BASELINE config 2) plus the long-sequence
     # rows where int8's 4x-smaller residual reads should actually show
     # (round-3 verdict next #5)

@@ -152,6 +152,19 @@ ARMS = {
 }
 
 
+def _int8_arm(q, k, v):
+    # round-4 verdict #5: the int8 training path's gradient-norm stability
+    # trace vs bf16 (BASELINE config 4: "int8 fwd+bwd finetune loop,
+    # gradient-norm stability vs bf16") — same harness, the full sage int8
+    # custom_vjp (quantized fwd residuals + int8 backward).
+    from quantizedattention_tpu.ops.api import sage_attention_int8
+
+    return sage_attention_int8(q, k, v, causal=True)
+
+
+ARMS["int8"] = _int8_arm
+
+
 # ---------------------------------------------------------------------------
 # micro level: near-tied clusters
 # ---------------------------------------------------------------------------

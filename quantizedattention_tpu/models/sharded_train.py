@@ -127,7 +127,8 @@ def make_sharded_train_step(
 
     attention: "bf16" or "int8" — both differentiable under either SP
     strategy; "int8" moves quantized KV + scales over ICI in forward AND
-    backward. GQA (n_kv_heads < n_heads) repeats kv heads per shard.
+    backward. GQA (n_kv_heads < n_heads): unrepeated kv heads ride the
+    collectives and feed the GQA-native kernels directly.
 
     attention_sp: "auto" (default — the analytic ICI/FLOPs model in
     parallel/scaling_model.py picks the predicted-faster strategy for this

@@ -104,12 +104,15 @@ def rope(x, positions, base: float):
 
 
 def _attention(q, k, v, cfg: TransformerConfig, attention_fn=None):
-    """Dispatch to the configured kernel; GQA repeats kv heads for training."""
-    if cfg.n_kv_heads != cfg.n_heads:
-        rep = cfg.n_heads // cfg.n_kv_heads
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
+    """Dispatch to the configured kernel. GQA: the native kernels take
+    UNREPEATED kv heads (one K/V stream per kv head — flash_fwd/int8_fwd);
+    only an external `attention_fn` (oracle hooks in tests) still gets a
+    repeated copy, since it may not be GQA-aware."""
     if attention_fn is not None:
+        if cfg.n_kv_heads != cfg.n_heads:
+            rep = cfg.n_heads // cfg.n_kv_heads
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
         return attention_fn(q, k, v)
     if cfg.attention == "int8":
         return sage_attention_int8(q, k, v, causal=True)
@@ -317,7 +320,6 @@ def prefill_chunk(
     from quantizedattention_tpu.parallel.ring import _merge_partials
 
     c = tokens.shape[0]
-    rep = cfg.n_heads // cfg.n_kv_heads
     x = params["embed"][tokens][None]
     positions = chunk_start + jnp.arange(c)
     new_caches = []
@@ -346,9 +348,7 @@ def prefill_chunk(
                 cache, slot, k[0, :, :c_write], v[0, :, :c_write], chunk_start,
                 new_len,
             )
-        k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k
-        v_r = jnp.repeat(v, rep, axis=1) if rep > 1 else v
-        o, lse = flash_attention_fwd(q, k_r, v_r, causal=True)
+        o, lse = flash_attention_fwd(q, k, v, causal=True)  # GQA-native
         if chunk_start > 0:
             # prefix part: dequantized int8 rows/pages of [0, chunk_start) —
             # the same quantized values every later decode step reads
@@ -364,10 +364,7 @@ def prefill_chunk(
                     cache.v_i8[slot, :, :chunk_start].astype(jnp.float32)
                     * cache.sv[slot, :, :chunk_start, None]
                 )[None]
-            if rep > 1:
-                k_pre = jnp.repeat(k_pre, rep, axis=1)
-                v_pre = jnp.repeat(v_pre, rep, axis=1)
-            o2, lse2 = flash_attention_fwd(q, k_pre, v_pre, causal=False)
+            o2, lse2 = flash_attention_fwd(q, k_pre, v_pre, causal=False)  # GQA-native
             o, lse = _merge_partials(o, lse, o2, lse2)
         o = o.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])

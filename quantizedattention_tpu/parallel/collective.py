@@ -74,22 +74,18 @@ def _ag_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     t_local = q.shape[2]
     if q.shape[1] % k.shape[1] != 0:
         raise ValueError("q heads must be a multiple of kv heads")
-    rep = q.shape[1] // k.shape[1]
     # GQA: gather the UNREPEATED kv-group payload (1/rep the ICI bytes);
-    # the repeat happens at the kernel boundary only — residuals also stay
-    # UNREPEATED (a repeated [b, h, n*t, d] residual pair held fwd-to-bwd
-    # would cost rep x the memory for no information)
+    # the GQA-native kernel consumes it directly — no repeated copy exists
+    # anywhere (fwd, residuals, or bwd)
     k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
     if config is None:
         config = default_block_config("bf16", t_local, k_full.shape[2])
-    k_rep = jnp.repeat(k_full, rep, axis=1) if rep > 1 else k_full
-    v_rep = jnp.repeat(v_full, rep, axis=1) if rep > 1 else v_full
     o, lse = flash_attention_fwd(
-        q, k_rep, v_rep, causal=causal, sm_scale=sm_scale, config=config,
+        q, k_full, v_full, causal=causal, sm_scale=sm_scale, config=config,
         q_offset=idx * t_local, k_offset=0,
     )
-    return o, (q, k_full, v_full, o, lse, rep)
+    return o, (q, k_full, v_full, o, lse)
 
 
 def _ag_fwd(q, k, v, axis_name, causal, sm_scale, config):
@@ -98,22 +94,16 @@ def _ag_fwd(q, k, v, axis_name, causal, sm_scale, config):
 
 
 def _ag_bwd(axis_name, causal, sm_scale, config, res, do):
-    q, k_full, v_full, o, lse, rep = res
+    q, k_full, v_full, o, lse = res
     if config is None:
         config = default_block_config("bf16", q.shape[2], k_full.shape[2])
     idx = jax.lax.axis_index(axis_name)
     t_local = q.shape[2]
-    k_rep = jnp.repeat(k_full, rep, axis=1) if rep > 1 else k_full
-    v_rep = jnp.repeat(v_full, rep, axis=1) if rep > 1 else v_full
+    # GQA-native backward: dk/dv come back kv-head shaped (in-kernel sum)
     dq, dk_full, dv_full = flash_attention_bwd(
-        q, k_rep, v_rep, o, lse, do, causal=causal, sm_scale=sm_scale,
+        q, k_full, v_full, o, lse, do, causal=causal, sm_scale=sm_scale,
         config=config, q_offset=idx * t_local, k_offset=0, fast=True,
     )
-    if rep > 1:
-        # GQA transpose of the local repeat: sum grads over each kv group
-        b, h, t_full, d = dk_full.shape
-        dk_full = dk_full.reshape(b, h // rep, rep, t_full, d).sum(2)
-        dv_full = dv_full.reshape(b, h // rep, rep, t_full, d).sum(2)
     # each chip holds dK/dV contributions from ITS q shard over the FULL kv
     # length; the true shard gradient is the sum over chips, delivered back
     # to the shard's owner — exactly one reduce-scatter per tensor.
@@ -137,8 +127,8 @@ def allgather_kv_attention_int8(q, k, v, axis_name, causal=False, sm_scale=None,
     scales all-gather (~1/4 the bytes of a bf16 gather), one int8 kernel
     per chip. Differentiable: the backward recomputes from the gathered
     residuals and reduce-scatters dK/dV home (GQA: the unrepeated kv-group
-    payload + scales ride the wire; repeats happen locally after the
-    gather, and dK/dV group-sum before the reduce-scatter). Causal masking
+    payload + scales ride the wire AND feed the GQA-native kernel directly;
+    dK/dV come back kv-head shaped). Causal masking
     uses the int8 kernels' global q/k offsets. t_local must be a multiple
     of 128 so the gathered quantization grid has no interior padding.
     """
@@ -152,7 +142,7 @@ def _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     batch, head, t_local, head_dim = q.shape
     if head % k.shape[1] != 0:
         raise ValueError("q heads must be a multiple of kv heads")
-    rep = head // k.shape[1]  # GQA: gather the UNREPEATED quantized payload
+    # GQA: gather the UNREPEATED quantized payload; the kernel is GQA-native
     if t_local % 128 != 0:
         raise ValueError("int8 all-gather requires t_local % 128 == 0")
     if config is None:
@@ -177,17 +167,12 @@ def _ag_i8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     v_i8f = jax.lax.all_gather(v_i8, axis_name, axis=1, tiled=True)
     sv_f = jax.lax.all_gather(sv, axis_name, axis=1, tiled=True)
     dims = (batch, head, t_local, n * t_local, head_dim)
-    # residuals keep the UNREPEATED gathered payload; repeats happen at the
-    # kernel boundary (fwd here, bwd in _ag_i8_bwd)
+    # residuals keep the UNREPEATED gathered payload; the GQA-native kernel
+    # consumes it directly (fwd here, bwd in _ag_i8_bwd)
     residuals = ((q_i8, sq), (k_i8f, sk_f), (v_i8f, sv_f))
-    from quantizedattention_tpu.parallel.ring import _repeat_int8_res
-
-    kernel_res = ((q_i8, sq),
-                  _repeat_int8_res((k_i8f, sk_f), rep, batch),
-                  _repeat_int8_res((v_i8f, sv_f), rep, batch))
     q_off = idx * t_local
     o, lse = int8_attention_fwd_from_quantized(
-        kernel_res, dims, causal=causal, sm_scale=sm_scale, config=config,
+        residuals, dims, causal=causal, sm_scale=sm_scale, config=config,
         q_offset=q_off, k_offset=0,
     )
     return o, (residuals, k_mean, o, lse, dims, q_off,
@@ -200,25 +185,13 @@ def _ag_i8_fwd(q, k, v, axis_name, causal, sm_scale, config):
 
 
 def _ag_i8_bwd(axis_name, causal, sm_scale, config, res, do):
-    from quantizedattention_tpu.parallel.ring import _repeat_heads, _repeat_int8_res
-
     (q_res, k_res, v_res), k_mean, o, lse, dims, q_off, marks = res
-    batch, head = dims[0], dims[1]
-    rep = head * batch // k_res[0].shape[0]
-    kernel_res = (q_res,
-                  _repeat_int8_res(k_res, rep, batch),
-                  _repeat_int8_res(v_res, rep, batch))
-    k_mean_rep = _repeat_heads(k_mean, rep)
+    # GQA-native backward: unrepeated residuals in, kv-head grads out
     dq, dk_full, dv_full = int8_attention_bwd(
-        kernel_res, k_mean_rep, o, lse, do, dims,
+        (q_res, k_res, v_res), k_mean, o, lse, do, dims,
         causal=causal, sm_scale=sm_scale, config=config,
         q_offset=q_off, k_offset=0,
     )
-    if rep > 1:
-        # GQA transpose of the local repeat: sum grads over each kv group
-        b, h, t_full, d = dk_full.shape
-        dk_full = dk_full.reshape(b, h // rep, rep, t_full, d).sum(2)
-        dv_full = dv_full.reshape(b, h // rep, rep, t_full, d).sum(2)
     dk = jax.lax.psum_scatter(dk_full, axis_name, scatter_dimension=2, tiled=True)
     dv = jax.lax.psum_scatter(dv_full, axis_name, scatter_dimension=2, tiled=True)
     qm, km, vm = marks

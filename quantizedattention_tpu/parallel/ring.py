@@ -66,18 +66,6 @@ def _rotate(state, axis_name, perm):
     return jax.tree_util.tree_map(lambda x: jax.lax.ppermute(x, axis_name, perm), state)
 
 
-def _repeat_heads(x, rep: int, axis: int = 1):
-    return x if rep == 1 else jnp.repeat(x, rep, axis=axis)
-
-
-def _group_sum(dx, rep: int):
-    """Reduce gradients of repeated heads back onto the kv-head groups."""
-    if rep == 1:
-        return dx
-    b, h, t, d = dx.shape
-    return dx.reshape(b, h // rep, rep, t, d).sum(axis=2)
-
-
 # --------------------------------------------------------------------------
 # bf16 ring: differentiable (custom_vjp; backward is also a ring)
 # --------------------------------------------------------------------------
@@ -93,9 +81,8 @@ def _ring_bf16_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     batch, head, t_local, head_dim = q.shape
-    # GQA: the UNREPEATED kv heads ride the ring (rep x fewer ICI bytes);
-    # each step repeats locally for the kernel
-    rep = head // k.shape[1]
+    # GQA: the UNREPEATED kv heads ride the ring (rep x fewer ICI bytes)
+    # AND feed the kernel directly (GQA-native flash_fwd — no local repeat)
     q_off = idx * t_local
 
     o = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
@@ -108,7 +95,7 @@ def _ring_bf16_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
         def _attend(kv_pair, src=src):
             k_blk, v_blk = kv_pair
             return flash_attention_fwd(
-                q, _repeat_heads(k_blk, rep), _repeat_heads(v_blk, rep),
+                q, k_blk, v_blk,
                 causal=causal, sm_scale=sm_scale, config=config,
                 q_offset=q_off, k_offset=src * t_local,
             )
@@ -140,13 +127,13 @@ def _ring_bf16_bwd(axis_name, causal, sm_scale, config, res, do):
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     t_local = q.shape[2]
-    rep = q.shape[1] // k.shape[1]
     q_off = idx * t_local
 
     dq = jnp.zeros_like(q, dtype=jnp.float32)
     # dK/dV accumulators ride the ring WITH their shard: at step s this chip
     # holds shard (idx−s) and the running gradient for exactly that shard
-    # (kv-head shaped under GQA: repeated-head grads group-sum before joining)
+    # (kv-head shaped under GQA: the GQA-native dKV kernel group-sums the
+    # repeated-head grads in VMEM scratch)
     k_blk, v_blk = k, v
     dk_acc = jnp.zeros_like(k, dtype=jnp.float32)
     dv_acc = jnp.zeros_like(v, dtype=jnp.float32)
@@ -158,13 +145,12 @@ def _ring_bf16_bwd(axis_name, causal, sm_scale, config, res, do):
 
         def _grads(operand, src=src):
             k_b, v_b = operand
-            dq_p, dk_p, dv_p = flash_attention_bwd(
-                q, _repeat_heads(k_b, rep), _repeat_heads(v_b, rep),
+            return flash_attention_bwd(
+                q, k_b, v_b,
                 o, lse, do, causal=causal, sm_scale=sm_scale,
                 config=config, q_offset=q_off, k_offset=src * t_local,
                 fast=True,  # bf16-rate MXU, f32 accumulation (see ops.api)
             )
-            return dq_p, _group_sum(dk_p, rep), _group_sum(dv_p, rep)
 
         if causal and step > 0:
             dq_p, dk_p, dv_p = jax.lax.cond(
@@ -201,24 +187,12 @@ _ring_bf16.defvjp(_ring_bf16_fwd, _ring_bf16_bwd)
 # contract of attention_int8.py:58-65, here stretched across chips).
 # --------------------------------------------------------------------------
 
-def _repeat_int8_res(res, rep: int, batch: int):
-    """Repeat an int8 (payload [b·h_kv, t, d], scales [b·h_kv, nblk])
-    residual onto the full head count for the kernel."""
-    if rep == 1:
-        return res
-    x, sc = res
-    bh, t, d = x.shape
-    x = jnp.repeat(x.reshape(batch, bh // batch, t, d), rep, axis=1).reshape(-1, t, d)
-    sc = jnp.repeat(sc.reshape(batch, bh // batch, -1), rep, axis=1).reshape(-1, sc.shape[-1])
-    return x, sc
-
-
 def _ring_int8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     batch, head, t_local, head_dim = q.shape
-    rep = head // k.shape[1]  # GQA: quantize + rotate UNREPEATED kv heads
+    # GQA: quantize + rotate UNREPEATED kv heads; the kernel is GQA-native
     dims = (batch, head, t_local, t_local, head_dim)
 
     # K-smoothing with the GLOBAL token mean (softmax shift-invariance needs
@@ -235,10 +209,9 @@ def _ring_int8_fwd_impl(q, k, v, axis_name, causal, sm_scale, config):
         src = (idx - step) % n
 
         def _attend(kv_state, causal_step):
-            k_r = _repeat_int8_res(kv_state[0], rep, batch)
-            v_r = _repeat_int8_res(kv_state[1], rep, batch)
+            # GQA-native kernel: unrepeated int8 payloads + scales go in
             return int8_attention_fwd_from_quantized(
-                ((q_i8, sq), k_r, v_r), dims,
+                ((q_i8, sq), kv_state[0], kv_state[1]), dims,
                 causal=causal_step, sm_scale=sm_scale, config=config,
             )
 
@@ -282,9 +255,8 @@ def _ring_int8_bwd(axis_name, causal, sm_scale, config, res, do):
     perm = [(i, (i + 1) % n) for i in range(n)]
     batch, head, t_local, head_dim = o.shape
     h_kv = k_res[0].shape[0] // batch
-    rep = head // h_kv
-    # the bwd kernel consumes repeated heads; k_mean arrives [b, h_kv, 1, d]
-    k_mean_rep = _repeat_heads(k_mean, rep)
+    # the GQA-native bwd kernel consumes unrepeated residuals and k_mean
+    # [b, h_kv, 1, d]; dk/dv come back kv-head shaped (in-kernel group sum)
     dims = (batch, head, t_local, t_local, head_dim)
 
     dq = jnp.zeros((batch, head, t_local, head_dim), jnp.float32)
@@ -296,13 +268,10 @@ def _ring_int8_bwd(axis_name, causal, sm_scale, config, res, do):
         src = (idx - step) % n
 
         def _grads(operand, causal_step):
-            kb = _repeat_int8_res(operand[0], rep, batch)
-            vb = _repeat_int8_res(operand[1], rep, batch)
-            dq_p, dk_p, dv_p = int8_attention_bwd(
-                ((q_i8, sq), kb, vb), k_mean_rep, o, lse, do, dims,
-                causal=causal_step, sm_scale=sm_scale, config=config,
+            return int8_attention_bwd(
+                ((q_i8, sq), operand[0], operand[1]), k_mean, o, lse, do,
+                dims, causal=causal_step, sm_scale=sm_scale, config=config,
             )
-            return dq_p, _group_sum(dk_p, rep), _group_sum(dv_p, rep)
 
         if causal:
             if step == 0:

@@ -42,8 +42,8 @@ def ulysses_attention(
 
     GQA: k/v may carry UNREPEATED kv heads (h a multiple of h_kv, both
     divisible by the axis size) — only the kv-group payload rides the
-    all-to-alls; heads repeat locally after the swap, and plain AD
-    group-sums the repeat's transpose on the way back.
+    all-to-alls, and the GQA-native kernels consume the unrepeated heads
+    directly (their backwards group-sum dK/dV in VMEM scratch).
     """
     fn = _KINDS[kind]
 
@@ -56,10 +56,6 @@ def ulysses_attention(
     if q.shape[1] % k.shape[1] != 0:
         raise ValueError("q heads must be a multiple of kv heads")
     q, k, v = swap_in(q), swap_in(k), swap_in(v)
-    rep = q.shape[1] // k.shape[1]
-    if rep > 1:
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
     o = fn(q, k, v, causal=causal, sm_scale=sm_scale, config=config)
     return swap_out(o)
 

@@ -82,17 +82,6 @@ def _merge(o, lse, o_p, lse_p):
     return _merge_partials(o, lse, o_p, lse_p)
 
 
-def _repeat(x, rep):
-    return jnp.repeat(x, rep, axis=1) if rep > 1 else x
-
-
-def _group_sum(dx, rep):
-    if rep == 1:
-        return dx
-    b, h, t, d = dx.shape
-    return dx.reshape(b, h // rep, rep, t, d).sum(axis=2)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def zigzag_ring_attention(q, k, v, axis_name, sm_scale=None,
                           config: BlockConfig | None = None):
@@ -110,7 +99,6 @@ def _zz_fwd_impl(q, k, v, axis_name, sm_scale, config):
     perm = [(i, (i + 1) % n) for i in range(n)]
     batch, head, t_local, head_dim = q.shape
     c = t_local // 2
-    rep = head // k.shape[1]
     if config is None:
         config = default_block_config("bf16", c, c, head_dim)
     config = config.clamp(c, c)  # piece kernels run on [c x c] chunks
@@ -122,9 +110,9 @@ def _zz_fwd_impl(q, k, v, axis_name, sm_scale, config):
     lse_hi = jnp.full_like(lse_lo, _NEG_INF)
 
     def attend(qc, kc, vc, causal):
+        # GQA-native kernel: unrepeated kv chunks go straight in
         return flash_attention_fwd(
-            qc, _repeat(kc, rep), _repeat(vc, rep), causal=causal,
-            sm_scale=sm_scale, config=config,
+            qc, kc, vc, causal=causal, sm_scale=sm_scale, config=config,
         )
 
     kv = (k[:, :, :c], k[:, :, c:], v[:, :, :c], v[:, :, c:])
@@ -183,7 +171,6 @@ def _zz_bwd(axis_name, sm_scale, config, res, do):
     perm = [(i, (i + 1) % n) for i in range(n)]
     batch, head, t_local, head_dim = q.shape
     c = t_local // 2
-    rep = head // k.shape[1]
     if config is None:
         config = default_block_config("bf16", c, c, head_dim)
     config = config.clamp(c, c)
@@ -194,11 +181,11 @@ def _zz_bwd(axis_name, sm_scale, config, res, do):
     do_lo, do_hi = do[:, :, :c], do[:, :, c:]
 
     def grads(qc, oc, lc, dc, kc, vc, causal):
-        dq_p, dk_p, dv_p = flash_attention_bwd(
-            qc, _repeat(kc, rep), _repeat(vc, rep), oc, lc, dc,
+        # GQA-native backward: dk/dv come back kv-head shaped
+        return flash_attention_bwd(
+            qc, kc, vc, oc, lc, dc,
             causal=causal, sm_scale=sm_scale, config=config, fast=True,
         )
-        return dq_p, _group_sum(dk_p, rep), _group_sum(dv_p, rep)
 
     dq_lo = jnp.zeros((batch, head, c, head_dim), jnp.float32)
     dq_hi = jnp.zeros_like(dq_lo)
@@ -279,12 +266,6 @@ def _sel_res(cond, res_a, res_b):
     return (jnp.where(cond, pa, pb), jnp.where(cond, sa, sb))
 
 
-def _repeat_res(res, rep, batch):
-    from quantizedattention_tpu.parallel.ring import _repeat_int8_res
-
-    return _repeat_int8_res(res, rep, batch)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def zigzag_ring_attention_int8(q, k, v, axis_name, sm_scale=None,
                                config: BlockConfig | None = None):
@@ -312,7 +293,6 @@ def _zz_i8_fwd_impl(q, k, v, axis_name, sm_scale, config):
     perm = [(i, (i + 1) % n) for i in range(n)]
     batch, head, t_local, head_dim = q.shape
     c = t_local // 2
-    rep = head // k.shape[1]
     if config is None:
         config = default_block_config("int8", c, c, head_dim)
     config = config.clamp(c, c)
@@ -328,9 +308,9 @@ def _zz_i8_fwd_impl(q, k, v, axis_name, sm_scale, config):
     lse_hi = jnp.full_like(lse_lo, _NEG_INF)
 
     def attend(q_res, k_res, v_res, causal):
+        # GQA-native kernel: unrepeated int8 payloads + scales go in
         return int8_attention_fwd_from_quantized(
-            (q_res, _repeat_res(k_res, rep, batch),
-             _repeat_res(v_res, rep, batch)),
+            (q_res, k_res, v_res),
             dims, causal=causal, sm_scale=sm_scale, config=config,
         )
 
@@ -390,27 +370,22 @@ def _zz_i8_bwd(axis_name, sm_scale, config, res, do):
     batch, head, t_local, head_dim = o.shape
     c = t_local // 2
     h_kv = k_lo_r0[0].shape[0] // batch
-    rep = head // h_kv
     if config is None:
         config = default_block_config("int8", c, c, head_dim)
     config = config.clamp(c, c)
     dims = (batch, head, c, c, head_dim)
-    from quantizedattention_tpu.parallel.ring import _repeat_heads
-
-    k_mean_rep = _repeat_heads(k_mean, rep)
 
     o_lo, o_hi = o[:, :, :c], o[:, :, c:]
     lse_lo, lse_hi = lse[:, :, :c], lse[:, :, c:]
     do_lo, do_hi = do[:, :, :c], do[:, :, c:]
 
     def grads(q_res, oc, lc, dc, k_res, v_res, causal):
-        dq_p, dk_p, dv_p = int8_attention_bwd(
-            (q_res, _repeat_res(k_res, rep, batch),
-             _repeat_res(v_res, rep, batch)),
-            k_mean_rep, oc, lc, dc, dims,
+        # GQA-native backward: unrepeated residuals in, kv-head grads out
+        return int8_attention_bwd(
+            (q_res, k_res, v_res),
+            k_mean, oc, lc, dc, dims,
             causal=causal, sm_scale=sm_scale, config=config,
         )
-        return dq_p, _group_sum(dk_p, rep), _group_sum(dv_p, rep)
 
     dq_lo = jnp.zeros((batch, head, c, head_dim), jnp.float32)
     dq_hi = jnp.zeros_like(dq_lo)

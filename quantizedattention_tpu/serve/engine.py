@@ -135,6 +135,13 @@ class ServingEngine:
         # FIFO order preserves per-slot token order (a slot's prefill token
         # always precedes its decode tokens in the queue).
         self._pending_fetches: list[tuple] = []
+        # Host-time ledger (round-4 verdict #6): decomposes a run()'s wall
+        # clock into device-call dispatch time, blocking token-fetch time,
+        # and the remaining host-side scheduling, so the gap between engine
+        # tokens/s and the raw device step rate is attributable instead of
+        # folklore. Counters reset per run().
+        self._ledger = {"dispatches": 0, "fetches": 0,
+                        "dispatch_s": 0.0, "fetch_s": 0.0}
         self.temperature = temperature
         self._key = jax.random.key(seed) if temperature > 0.0 else None
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
@@ -288,13 +295,28 @@ class ServingEngine:
         """Drive steps until queue and slots drain; returns all results."""
         t0 = time.perf_counter()
         n0 = self._tokens_generated
+        self._ledger = {"dispatches": 0, "fetches": 0,
+                        "dispatch_s": 0.0, "fetch_s": 0.0}
         while self.step():
             pass
         dt = time.perf_counter() - t0
+        self._ledger["wall_s"] = dt
+        self._ledger["tokens"] = self._tokens_generated - n0
+        self._ledger["other_host_s"] = max(
+            0.0, dt - self._ledger["dispatch_s"] - self._ledger["fetch_s"])
         if dt > 0:
             self._last_run_tokens_per_s = (self._tokens_generated - n0) / dt
         out, self._finished = self._finished, {}
         return out
+
+    def ledger(self) -> dict:
+        """The last run()'s host-time decomposition: `dispatches`/`fetches`
+        counts, `dispatch_s` (blocking time inside device-call invocations),
+        `fetch_s` (blocking token fetches), `other_host_s` (scheduling +
+        Python), `wall_s`, `tokens`. dispatch_s + fetch_s + other_host_s =
+        wall_s; each fetch pays the relay's ~26 ms round-trip unless it
+        overlapped an in-flight dispatch."""
+        return dict(self._ledger)
 
     def stats(self) -> dict:
         """Serving observability: queue/slot occupancy, token + page counts."""
@@ -309,6 +331,7 @@ class ServingEngine:
         }
         if self._pagers is not None:
             s["pages_free"] = sum(p.num_free for p in self._pagers)
+        s["ledger"] = dict(self._ledger)
         return s
 
     # -- engine side ---------------------------------------------------------
@@ -388,11 +411,14 @@ class ServingEngine:
         sl = prompt[i * chunk:(i + 1) * chunk]
         tokens = jnp.asarray(sl + [0] * (chunk - len(sl)), jnp.int32)
         last = i == n_chunks - 1
+        t0 = time.perf_counter()
         tok, self.caches = self._prefill_chunk_fn(
             self.params, self.caches, tokens,
             chunk_start=i * chunk, true_end=jnp.int32(len(prompt)),
             slot=jnp.int32(slot), last=last, key=self._next_key() if last else None,
         )
+        self._ledger["dispatches"] += 1
+        self._ledger["dispatch_s"] += time.perf_counter() - t0
         if not last:
             p["next"] = i + 1
             return
@@ -477,10 +503,13 @@ class ServingEngine:
             rid, slot, prompt = batch[0]
             t_pad = self._pad_len(prompt)
             tokens = jnp.asarray(prompt + [0] * (t_pad - len(prompt)), jnp.int32)
+            t0 = time.perf_counter()
             first_tok, self.caches = self._prefill(
                 self.params, self.caches, tokens, jnp.int32(len(prompt)),
                 jnp.int32(slot), key=self._next_key(),
             )
+            self._ledger["dispatches"] += 1
+            self._ledger["dispatch_s"] += time.perf_counter() - t0
             self._slot_req[slot] = rid
             # seed last_tok with the DEVICE scalar — no host fetch on this
             # path; the host-side record is deferred to the next flush
@@ -496,10 +525,13 @@ class ServingEngine:
             [p + [0] * (t_pad - len(p)) for _, _, p in batch], jnp.int32)
         true_lens = jnp.asarray([len(p) for _, _, p in batch], jnp.int32)
         slots = jnp.asarray([s for _, s, _ in batch], jnp.int32)
+        t0 = time.perf_counter()
         toks, self.caches = self._prefill_slots_fn(
             self.params, self.caches, tokens, true_lens, slots,
             key=self._next_key(),
         )
+        self._ledger["dispatches"] += 1
+        self._ledger["dispatch_s"] += time.perf_counter() - t0
         for i, (rid_i, slot_i, _) in enumerate(batch):
             self._slot_req[slot_i] = rid_i
         self.last_tok = self.last_tok.at[slots].set(toks)
@@ -516,6 +548,8 @@ class ServingEngine:
         if not self._pending_fetches:
             return False
         entries, self._pending_fetches = self._pending_fetches, []
+        t0 = time.perf_counter()
+        self._ledger["fetches"] += len(entries)
         for kind, arr, owners in entries:
             if kind == "bank":
                 toks = np.asarray(arr)  # [n_steps, n_slots]
@@ -535,6 +569,7 @@ class ServingEngine:
                 slot, rid = owners
                 if self._slot_req[slot] == rid:
                     self._record(slot, int(arr))
+        self._ledger["fetch_s"] += time.perf_counter() - t0
         return True
 
     def _pending_token_counts(self):
@@ -576,6 +611,7 @@ class ServingEngine:
         # EOS/budget bookkeeping lags one action — surplus tokens decoded by
         # a since-finished slot are discarded at flush (the slot kept
         # decoding into its own soon-to-be-reset cache, masked by `active`).
+        t0 = time.perf_counter()
         if self.decode_horizon > 1:
             # K chained steps in one jit; ONE host fetch banks K tokens.
             bank, self.caches, self.last_tok, self.pos = self._decode_horizon(
@@ -590,6 +626,8 @@ class ServingEngine:
             self.last_tok = next_tok
             self.pos = self.pos + self.active.astype(jnp.int32)
             bank = next_tok[None]  # a bank of one step
+        self._ledger["dispatches"] += 1
+        self._ledger["dispatch_s"] += time.perf_counter() - t0
         self._flush_pending()
         # the flush may have finished requests that this (already
         # dispatched) bank is still decoding — exclude them: their rows
@@ -869,7 +907,6 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
     n_model = mesh.shape["model"]
     h_loc = cfg.n_heads // n_model
     kv_loc = cfg.n_kv_heads // n_model
-    rep = h_loc // kv_loc
 
     def _build(chunk_start: int, last: bool):
         @functools.partial(
@@ -914,9 +951,7 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                         chunk_start, new_len)
                 cache_l = jax.lax.cond(own, write, lambda cc: cc, cache_l)
 
-                k_r = jnp.repeat(k, rep, axis=1) if rep > 1 else k
-                v_r = jnp.repeat(v, rep, axis=1) if rep > 1 else v
-                o, lse = flash_attention_fwd(q, k_r, v_r, causal=True)
+                o, lse = flash_attention_fwd(q, k, v, causal=True)  # GQA-native
                 if chunk_start > 0:
                     if paged:
                         k_pre, v_pre = read_prefix_paged(cache_l, slot_loc, chunk_start)
@@ -930,10 +965,7 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                             cache_l.v_i8[slot_loc, :, :chunk_start].astype(jnp.float32)
                             * cache_l.sv[slot_loc, :, :chunk_start, None]
                         )[None]
-                    if rep > 1:
-                        k_pre = jnp.repeat(k_pre, rep, axis=1)
-                        v_pre = jnp.repeat(v_pre, rep, axis=1)
-                    o2, lse2 = flash_attention_fwd(q, k_pre, v_pre, causal=False)
+                    o2, lse2 = flash_attention_fwd(q, k_pre, v_pre, causal=False)  # GQA-native
                     o, _ = _merge_partials(o, lse, o2, lse2)
                     # select the OWNER's merged output on every data shard
                     # (off-owner prefixes were garbage); self-part-only
