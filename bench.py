@@ -429,10 +429,11 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4):
     return per_step
 
 
-def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4):
+def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4,
+                 adaptive=None):
     """Engine end-to-end tokens/s (host loop + scheduler + pipelined
     dispatch-before-fetch on every path) vs the raw device decode rate
-    (stderr detail)."""
+    (stderr detail). adaptive: adaptive_horizon cap for the A/B row."""
     from quantizedattention_tpu.models import TransformerConfig, init_transformer
     from quantizedattention_tpu.serve import ServingEngine
 
@@ -442,13 +443,16 @@ def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4):
     )
     params = init_transformer(jax.random.key(0), cfg)
     eng = ServingEngine(params, cfg, n_slots=n_slots, scheduler="native",
-                        param_dtype=jnp.bfloat16, decode_horizon=horizon)
+                        param_dtype=jnp.bfloat16, decode_horizon=horizon,
+                        adaptive_horizon=adaptive)
     import numpy as _np
 
     rng = _np.random.default_rng(0)
     prompts = [list(rng.integers(1, cfg.vocab_size, size=ctx // 4)) for _ in range(n_slots)]
-    for p in prompts:  # warmup run compiles prefill + horizon bank
-        eng.submit(p, 8)
+    for p in prompts:  # warmup run compiles prefill + every horizon bank
+        eng.submit(p, n_tokens)  # same budget as the timed run: the
+        # adaptive engine picks the same bucket sequence, so all bank
+        # sizes compile here, not inside the measurement
     eng.run()
     for p in prompts:
         eng.submit(p, n_tokens)
@@ -527,6 +531,9 @@ def main():
     # host-loop overheads scale differently (round-2 verdict weak #3)
     per_step_12 = _section("decode-12L", bench_decode, n_layers=12)
     eng_12 = _section("engine-12L", bench_engine, n_layers=12)
+    # adaptive bank sizing A/B (round-4 verdict #6): fewer dispatch+fetch
+    # cycles for the same token budget when the queue is empty
+    _section("engine-12L-adaptive", bench_engine, n_layers=12, adaptive=128)
     if per_step_12 and eng_12:
         log(f"engine-12L vs device-12L step rate: "
             f"{eng_12 / (8 / per_step_12) * 100:.0f}% of device rate")

@@ -248,11 +248,13 @@ def decode_horizon_batched(
         )
         return bank.at[i].set(nxt), caches, nxt, pos + active.astype(jnp.int32)
 
-    # python loop (horizon is small + static): lets the cache pytree thread
-    # through without fori_loop shape gymnastics; jit unrolls it
+    # lax.fori_loop: ONE traced decode step regardless of horizon, so the
+    # compile cost of a bank is O(1) in its size — the adaptive-horizon
+    # engine (serve/engine.py) compiles buckets up to 128 steps without
+    # paying 128x trace/compile (the cache pytree threads through the loop
+    # carry unchanged; every shape is invariant)
     state = (bank, caches, last_tok, pos)
-    for i in range(horizon):
-        state = step(i, state)
+    state = jax.lax.fori_loop(0, horizon, step, state)
     return state
 
 

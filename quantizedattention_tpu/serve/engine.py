@@ -88,6 +88,10 @@ class ServingEngine:
     params/cfg: a models.transformer LM. eos_id: optional stop token.
     scheduler: "native" (C++ via ctypes; falls back to the Python twin if
     g++ is unavailable) or "python".
+    decode_horizon: fixed decode-bank size (K chained steps per dispatch,
+    one token fetch per bank). adaptive_horizon: optional cap enabling
+    per-dispatch bank sizing from remaining budgets (see _pick_horizon) —
+    tokens are identical, dispatch/fetch cycles fewer.
     """
 
     def __init__(
@@ -106,6 +110,7 @@ class ServingEngine:
         param_dtype=None,
         decode_horizon: int = 1,
         prefill_chunk: int | None = None,
+        adaptive_horizon: int | None = None,
     ):
         if param_dtype is not None:
             # serving needs no f32 master weights; bf16 halves weight HBM
@@ -120,6 +125,18 @@ class ServingEngine:
         self.n_slots = n_slots
         self.eos_id = eos_id
         self.decode_horizon = decode_horizon
+        # Adaptive bank sizing (round-4 verdict #6): when set, each decode
+        # dispatch picks its own bank size — a power-of-two bucket (bounded
+        # compiles) up to this cap, sized from the active slots' remaining
+        # budgets: the LARGEST remaining when nothing is waiting (drain in
+        # few dispatches — each dispatch+fetch cycle pays fixed relay
+        # round-trips), the SMALLEST when requests wait (free slots fast,
+        # no head-of-line blocking behind a long bank). Tokens are
+        # identical either way (greedy); finished slots' surplus rows are
+        # discarded at flush exactly as with a fixed horizon.
+        if adaptive_horizon is not None and adaptive_horizon < 1:
+            raise ValueError("adaptive_horizon must be >= 1")
+        self.adaptive_horizon = adaptive_horizon
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
             if prefill_chunk % 128 != 0 or prefill_chunk <= 0:
@@ -208,11 +225,16 @@ class ServingEngine:
             self._decode = make_sharded_decode_step(
                 mesh, cfg, temperature=temperature, cache=cache
             )
-            if decode_horizon > 1:
-                self._decode_horizon = make_sharded_decode_step(
-                    mesh, cfg, temperature=temperature, cache=cache,
-                    horizon=decode_horizon,
-                )
+            self._horizon_fns = {}
+
+            def _mesh_horizon(h, _mesh=mesh, _cfg=cfg, _t=temperature, _c=cache):
+                if h not in self._horizon_fns:
+                    self._horizon_fns[h] = make_sharded_decode_step(
+                        _mesh, _cfg, temperature=_t, cache=_c, horizon=h,
+                    )
+                return self._horizon_fns[h]
+
+            self._horizon_fn = _mesh_horizon
             self._prefill = make_sharded_prefill_slot(
                 mesh, cfg, cache=cache, temperature=temperature
             )
@@ -224,12 +246,17 @@ class ServingEngine:
             self._decode = jax.jit(
                 functools.partial(decode_step_batched, cfg=cfg, temperature=temperature)
             )
-            self._decode_horizon = jax.jit(
+            _horizon_jit = jax.jit(
                 functools.partial(
-                    decode_horizon_batched, cfg=cfg,
-                    horizon=decode_horizon, temperature=temperature,
-                )
+                    decode_horizon_batched, cfg=cfg, temperature=temperature,
+                ),
+                static_argnames=("horizon",),
             )
+
+            def _host_horizon(h, _fn=_horizon_jit):
+                return functools.partial(_fn, horizon=h)
+
+            self._horizon_fn = _host_horizon
             self._prefill = jax.jit(
                 functools.partial(prefill_slot, cfg=cfg, temperature=temperature)
             )
@@ -588,6 +615,38 @@ class ServingEngine:
                 counts[(slot, rid)] = counts.get((slot, rid), 0) + 1
         return counts
 
+    def _pick_horizon(self, active_slots) -> int:
+        """Bank size for this dispatch. Fixed `decode_horizon` unless
+        `adaptive_horizon` is set; then a power-of-two bucket (bounded
+        compile count) sized from remaining budgets — largest remaining
+        when the queue is empty (fewest dispatch+fetch cycles to drain),
+        smallest when requests wait (slots free promptly for admission)."""
+        cap = self.adaptive_horizon
+        if cap is None:
+            return self.decode_horizon
+        counts = self._pending_token_counts()
+        rem = []
+        for s in active_slots:
+            rid = self._slot_req[s]
+            r = (self._budgets[rid] - len(self._outputs[rid])
+                 - counts.get((s, rid), 0))
+            if r > 0:
+                rem.append(r)
+        if not rem:
+            return 1
+        if self.sched.num_waiting > 0:
+            # floor: the bank must not outlive the soonest-finishing slot,
+            # or admission of the waiting request stalls behind it
+            target = max(1, min(min(rem), cap))
+            return 1 << (target.bit_length() - 1)
+        # queue empty: ceil — one slightly-surplus bank beats a tail of
+        # tiny banks (each dispatch+fetch cycle pays fixed relay
+        # round-trips; surplus rows are the established mid-horizon-finish
+        # behavior and are discarded at flush)
+        target = max(1, min(max(rem), cap))
+        ceil_pow2 = 1 << (target - 1).bit_length()
+        return min(ceil_pow2, cap)
+
     def _do_decode(self):
         active_before = [i for i in range(self.n_slots) if self._slot_req[i] >= 0]
         if active_before and self._pending_fetches:
@@ -612,9 +671,10 @@ class ServingEngine:
         # a since-finished slot are discarded at flush (the slot kept
         # decoding into its own soon-to-be-reset cache, masked by `active`).
         t0 = time.perf_counter()
-        if self.decode_horizon > 1:
+        h = self._pick_horizon(active_before)
+        if h > 1:
             # K chained steps in one jit; ONE host fetch banks K tokens.
-            bank, self.caches, self.last_tok, self.pos = self._decode_horizon(
+            bank, self.caches, self.last_tok, self.pos = self._horizon_fn(h)(
                 self.params, self.caches, self.last_tok, self.pos, self.active,
                 key=self._next_key(),
             )
@@ -775,15 +835,19 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
     )
     def sharded_horizon(params, caches, last_tok, pos, active, key):
         bank = jnp.zeros((horizon, last_tok.shape[0]), jnp.int32)
-        state = (bank, caches, last_tok, pos)
-        for i in range(horizon):
+
+        def body(i, state):
             bank, caches, last_tok, pos = state
-            k_i = None if key is None or temperature == 0.0 else jax.random.fold_in(key, i)
+            k_i = None if temperature == 0.0 else jax.random.fold_in(key, i)
             nxt, caches = _sharded_decode_step(
                 params, caches, last_tok, pos, active, k_i, cfg, temperature
             )
-            state = (bank.at[i].set(nxt), caches, nxt, pos + active.astype(jnp.int32))
-        return state
+            return (bank.at[i].set(nxt), caches, nxt,
+                    pos + active.astype(jnp.int32))
+
+        # fori_loop: bank compile cost is O(1) in horizon (adaptive buckets
+        # up to 128 — see decode_horizon_batched)
+        return jax.lax.fori_loop(0, horizon, body, (bank, caches, last_tok, pos))
 
     fn = sharded if horizon <= 1 else sharded_horizon
     _step = jax.jit(fn)

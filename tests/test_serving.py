@@ -635,6 +635,40 @@ def test_batched_admission_single_dispatch(rng):
     assert got == want, (got, want)
 
 
+def test_adaptive_horizon_token_parity(rng):
+    """adaptive_horizon banks variable power-of-two bucket sizes; tokens
+    must match the fixed-horizon engine exactly, and the bucket picks must
+    shrink toward the remaining budget (no surplus-heavy full banks)."""
+    cfg = small_cfg()
+    params = init_transformer(rng, cfg)
+    fixed = ServingEngine(params, cfg, n_slots=2, scheduler="python",
+                          decode_horizon=4)
+    adapt = ServingEngine(params, cfg, n_slots=2, scheduler="python",
+                          decode_horizon=4, adaptive_horizon=32)
+    picks = []
+    orig = adapt._pick_horizon
+
+    def spy(active):
+        h = orig(active)
+        picks.append(h)
+        return h
+
+    adapt._pick_horizon = spy
+    want, got = {}, {}
+    for eng, dst in ((fixed, want), (adapt, got)):
+        r0 = eng.submit([1, 2, 3], max_new_tokens=13)
+        r1 = eng.submit([4, 5], max_new_tokens=13)
+        out = eng.run()
+        dst.update({0: out[r0].tokens, 1: out[r1].tokens})
+    assert got == want, (got, want)
+    assert picks, "adaptive engine never decoded"
+    assert all(h & (h - 1) == 0 for h in picks), picks  # powers of two
+    # queue empty: ONE ceil-bucket bank covers the whole remaining budget
+    # (12 remaining after the prefill token -> ceil_pow2 = 16)
+    assert max(picks) == 16, picks
+    assert len([h for h in picks if h > 1]) == 1, picks
+
+
 def test_surplus_bank_guard(rng):
     """When the pending fetches already satisfy every slot's budget, the
     engine flushes instead of dispatching a provably-surplus decode bank."""
@@ -643,13 +677,18 @@ def test_surplus_bank_guard(rng):
     eng = ServingEngine(params, cfg, n_slots=2, scheduler="python",
                         decode_horizon=8)
     n_decodes = {"n": 0}
-    orig = eng._decode_horizon
+    orig = eng._horizon_fn
 
-    def spy(*a, **k):
-        n_decodes["n"] += 1
-        return orig(*a, **k)
+    def spy_fn(h):
+        inner = orig(h)
 
-    eng._decode_horizon = spy
+        def spy(*a, **k):
+            n_decodes["n"] += 1
+            return inner(*a, **k)
+
+        return spy
+
+    eng._horizon_fn = spy_fn
     # budget 8 = exactly one bank after the prefill token: a second bank
     # would be 100% surplus and must not be dispatched
     r0 = eng.submit([1, 2, 3], max_new_tokens=9)
