@@ -100,6 +100,38 @@ def test_gqa_bf16_custom_vjp_grads():
         assert err / scale < 2e-2, (err, scale)
 
 
+def test_gqa_int8_fused_matches_materialized():
+    """The fused inference kernel (in-kernel quantization, serving default)
+    under GQA: must match the materialized int8 forward (same quantization
+    grid per kv head) and its own repeated-KV run."""
+    from quantizedattention_tpu.ops.int8_fwd import (
+        int8_attention_fwd,
+        int8_attention_fwd_fused,
+    )
+
+    q, k, v, _ = _qkv(jax.random.key(6), 2, 8, 2, 256, 64)
+    o_f, lse_f = int8_attention_fwd_fused(q, k, v, causal=True)
+    o_m, lse_m, _ = int8_attention_fwd(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_m), atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(lse_f), np.asarray(lse_m), atol=1e-5, rtol=0)
+    o_r, lse_r = int8_attention_fwd_fused(
+        q, jnp.repeat(k, 4, 1), jnp.repeat(v, 4, 1), causal=True
+    )
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_r), atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(lse_f), np.asarray(lse_r), atol=1e-5, rtol=0)
+
+
+def test_gqa_int8_cross_lengths():
+    q, k, v, _ = _qkv(jax.random.key(7), 1, 4, 2, 256, 64, tkv=384)
+    from quantizedattention_tpu.ops.int8_fwd import int8_attention_fwd
+
+    o_g, _, _ = int8_attention_fwd(q, k, v, causal=False)
+    o_r, _, _ = int8_attention_fwd(
+        q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1), causal=False
+    )
+    np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_r), atol=1e-5, rtol=0)
+
+
 def test_gqa_int8_matches_repeated():
     q, k, v, do = _qkv(jax.random.key(5), 2, 8, 2, 256, 64)
     rep = 4
