@@ -132,6 +132,31 @@ def test_gqa_int8_cross_lengths():
     np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_r), atol=1e-5, rtol=0)
 
 
+def test_mqa_single_kv_head():
+    """MQA edge (h_kv=1, rep=8): fwd + custom_vjp grads vs the repeated
+    path — the largest group the models here can produce."""
+    q, k, v, do = _qkv(jax.random.key(8), 1, 8, 1, 256, 64, dtype=jnp.bfloat16)
+
+    def loss_g(q_, k_, v_):
+        return jnp.vdot(flash_attention_bf16(q_, k_, v_, causal=True), do)
+
+    def loss_r(q_, k_, v_):
+        kr, vr = jnp.repeat(k_, 8, 1), jnp.repeat(v_, 8, 1)
+        return jnp.vdot(flash_attention_bf16(q_, kr, vr, causal=True), do)
+
+    (lg, (gq, gk, gv)) = jax.value_and_grad(loss_g, argnums=(0, 1, 2))(q, k, v)
+    (lr, (rq, rk, rv)) = jax.value_and_grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    assert gk.shape == k.shape
+    np.testing.assert_allclose(float(lg), float(lr), rtol=1e-5)
+    # grads are bf16: the rep-grouped tiles round differently from the
+    # repeated-head tiles at the last bit — compare at bf16-ulp scale
+    # (same criterion as test_gqa_bf16_custom_vjp_grads)
+    for got, want in ((gq, rq), (gk, rk), (gv, rv)):
+        g32, w32 = np.asarray(got, np.float32), np.asarray(want, np.float32)
+        scale = float(np.max(np.abs(w32)))
+        assert float(np.max(np.abs(g32 - w32))) / scale < 2e-2
+
+
 def test_gqa_int8_matches_repeated():
     q, k, v, do = _qkv(jax.random.key(5), 2, 8, 2, 256, 64)
     rep = 4
