@@ -55,6 +55,13 @@ def ulysses_attention(
 
     if q.shape[1] % k.shape[1] != 0:
         raise ValueError("q heads must be a multiple of kv heads")
+    n = jax.lax.axis_size(axis_name)
+    if q.shape[1] % n or k.shape[1] % n:
+        raise ValueError(
+            f"ulysses all-to-all needs q heads ({q.shape[1]}) AND kv heads "
+            f"({k.shape[1]}) divisible by the axis size ({n}); for fewer kv "
+            f"heads than chips use ring/zigzag/allgather SP instead"
+        )
     q, k, v = swap_in(q), swap_in(k), swap_in(v)
     o = fn(q, k, v, causal=causal, sm_scale=sm_scale, config=config)
     return swap_out(o)

@@ -209,6 +209,19 @@ def test_ulysses_attention(rng, kind, causal, atol):
     assert rep.mismatch_rate <= 2e-3, rep
 
 
+def test_ulysses_indivisible_kv_heads_raises(rng):
+    """GQA kv heads not divisible by the context axis cannot ride the
+    head<->seq all-to-all; the guard must say so instead of mis-sharding."""
+    from quantizedattention_tpu.parallel import make_ulysses_attention
+
+    mesh = make_attention_mesh(data=1, model=1, context=4)
+    q, _, _, _ = make_qkv(rng, batch=1, head=8, q_tokens=512)
+    _, k, v, _ = make_qkv(rng, batch=1, head=2, q_tokens=512)
+    fn = make_ulysses_attention(mesh, kind="bf16", causal=True)
+    with pytest.raises(ValueError, match="divisible by the axis size"):
+        fn(q, k, v)
+
+
 def test_ulysses_differentiable(rng):
     from quantizedattention_tpu.parallel import make_ulysses_attention
     from quantizedattention_tpu.reference import reference_attention_vjp
