@@ -7,7 +7,7 @@ mkdir -p /tmp/r04
 cd /root/repo
 
 echo "== 0. probe"
-timeout 120 python /tmp/probe_tpu.py > /tmp/r04/probe.log 2>&1
+timeout 120 python experiments/probe_tpu.py > /tmp/r04/probe.log 2>&1
 echo "probe rc=$? (0 = relay up)"
 
 echo "== 1. bench.py (headline + all sections; ~15 min cold)"

@@ -287,6 +287,14 @@ def attention_jvp(
     for gradients of losses containing tO (rCM distillation training), use
     `attention_value_and_jvp`.
     """
+    if k.shape[1] != q.shape[1]:
+        # the fp32 primal (flash fwd) is GQA-native, but the streamed tangent
+        # kernels are single-head-count — fail here, coherently, not with a
+        # reshape error deep inside jax.jvp
+        raise ValueError(
+            f"attention_jvp is single-head-count only: q has {q.shape[1]} "
+            f"heads but k/v have {k.shape[1]} — jnp.repeat k/v first"
+        )
     if config is None:
         config = default_block_config("jvp", q.shape[2], k.shape[2], q.shape[3])
     return _attention_jvp(q, k, v, causal, sm_scale, config)

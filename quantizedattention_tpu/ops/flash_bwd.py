@@ -219,6 +219,7 @@ def flash_attention_bwd(
     rep = head // kv_head
     if config is None:
         config = default_block_config("fp32", q_tokens, kv_len, head_dim)
+    config = config.clamp_rep(rep)
     block_q, block_kv = config.block_q_bwd, config.block_kv_bwd
     sm_scale, qk_scale = qk_scales(head_dim, sm_scale)
     precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST

@@ -249,6 +249,7 @@ def flash_attention_fwd(
     rep = head // kv_head
     if config is None:
         config = default_block_config("bf16" if precision == "bf16" else "fp32", q_tokens, kv_len, head_dim)
+    config = config.clamp_rep(rep)
     block_q, block_kv = config.block_q, config.block_kv
 
     if precision == "bf16":

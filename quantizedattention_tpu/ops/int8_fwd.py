@@ -374,6 +374,7 @@ def int8_attention_fwd_fused(
     rep = head // kv_head
     if config is None:
         config = default_block_config("int8", q_tokens, kv_len, head_dim)
+    config = config.clamp_rep(rep)
     block_q = config.block_q
     # The DMA block is capped at the quantization grain: the persistent
     # quantized scratch replaces the big-resident-tile trick (the f32 input
@@ -498,6 +499,9 @@ def quantize_qkv(q, k, v, config: BlockConfig, k_sub=None, interpret: bool | Non
     kv_len = k.shape[2]
     bh = batch * head
     bh_kv = batch * k.shape[1]  # may be < bh under GQA (unrepeated kv heads)
+    # same rep clamp every consumer of these residuals applies — the q grain
+    # here IS the scale-table tiling the fwd kernel and backward index by
+    config = config.clamp_rep(head // k.shape[1])
     # K/V quantize at the compute-subtile grain (<= block_kv), q at block_q:
     # the forward DMAs at block_kv but applies one scale per subtile, and the
     # backward tiles at exactly the quantization grain (see int8_bwd).
@@ -546,6 +550,7 @@ def int8_attention_fwd(
     kv_len = k.shape[2]
     if config is None:
         config = default_block_config("int8", q_tokens, kv_len, head_dim)
+    config = config.clamp_rep(head // k.shape[1])
     residuals = quantize_qkv(q, k, v, config, k_sub=k_sub)
     o, lse = int8_attention_fwd_from_quantized(
         residuals,
@@ -585,14 +590,17 @@ def int8_attention_fwd_from_quantized(
     batch, head, q_tokens, kv_len, head_dim = dims
     if config is None:
         config = default_block_config("int8", q_tokens, kv_len, head_dim)
-    block_q, block_kv = config.block_q, config.block_kv
-    _, qk_scale = qk_scales(head_dim, sm_scale)
-
     bh = batch * head
     bh_kv = k_i8.shape[0]
     if bh % bh_kv != 0:
         raise ValueError(f"q rows ({bh}) must be a multiple of kv rows ({bh_kv})")
     rep = bh // bh_kv
+    # same deterministic clamp the quantization pass applied — keeps the
+    # kernel tiling aligned with the residuals' scale-table grain
+    config = config.clamp_rep(rep)
+    block_q, block_kv = config.block_q, config.block_kv
+    _, qk_scale = qk_scales(head_dim, sm_scale)
+
     padded_q, padded_kv = q_i8.shape[1], k_i8.shape[1]
     num_q_blocks = cdiv(padded_q, block_q)
     num_kv_blocks = cdiv(padded_kv, block_kv)

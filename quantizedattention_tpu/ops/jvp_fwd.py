@@ -143,6 +143,12 @@ def attention_jvp_fwd(
         interpret = use_interpret_mode()
     batch, head, q_tokens, head_dim = q.shape
     kv_len = k.shape[2]
+    if k.shape[1] != head:
+        raise ValueError(
+            f"the JVP family is single-head-count only: q has {head} heads but "
+            f"k/v have {k.shape[1]} — GQA is unsupported here (unlike "
+            "flash/int8 attention); jnp.repeat k/v to the q head count first"
+        )
     if config is None:
         config = default_block_config("jvp", q_tokens, kv_len, head_dim)
     block_q, block_kv = config.block_q, config.block_kv

@@ -670,8 +670,11 @@ class ServingEngine:
         # EOS/budget bookkeeping lags one action — surplus tokens decoded by
         # a since-finished slot are discarded at flush (the slot kept
         # decoding into its own soon-to-be-reset cache, masked by `active`).
-        t0 = time.perf_counter()
+        # horizon choice is host scheduling work — keep it OUT of the
+        # dispatch_s bucket (ledger() documents dispatch_s as blocking time
+        # inside device-call invocations only)
         h = self._pick_horizon(active_before)
+        t0 = time.perf_counter()
         if h > 1:
             # K chained steps in one jit; ONE host fetch banks K tokens.
             bank, self.caches, self.last_tok, self.pos = self._horizon_fn(h)(

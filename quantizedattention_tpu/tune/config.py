@@ -56,6 +56,30 @@ class BlockConfig:
     def kv_compute(self) -> int:
         return self.block_kv_compute or self.block_kv
 
+    def clamp_rep(self, rep: int, max_rows: int = 4096) -> "BlockConfig":
+        """Shrink q blocks so a GQA q-group fits scoped VMEM (16 MB on v5e).
+
+        The GQA-native kernels carry the kv head's whole q group per grid
+        step: softmax stats are [rep, block_q, 128] f32 (x2 for m and l) plus
+        a [rep, block_q, d] accumulator, so scratch scales with rep*block_q.
+        Capping rep*block_q at max_rows=4096 bounds the m+l scratch at
+        2*4096*128*4 B = 4.2 MB, leaving headroom for the q/O blocks and
+        double-buffered K/V. rep <= 4 with the default block_q=1024 is
+        unchanged (the measured v5e optima); rep=8 -> 512, MQA rep=16 -> 256.
+        Deterministic and idempotent, so forward/backward and the int8
+        quantization tiling (which all re-apply it with the same rep) agree.
+        """
+        if rep <= 1:
+            return self
+        cap = max(128, (max_rows // rep) // 128 * 128)
+        if self.block_q <= cap and self.block_q_bwd <= cap:
+            return self
+        return dataclasses.replace(
+            self,
+            block_q=min(self.block_q, cap),
+            block_q_bwd=min(self.block_q_bwd, cap),
+        )
+
     def clamp(self, q_tokens: int, kv_tokens: int) -> "BlockConfig":
         """Shrink blocks to fit short sequences (never below 128)."""
 

@@ -157,6 +157,63 @@ def test_mqa_single_kv_head():
         assert float(np.max(np.abs(g32 - w32))) / scale < 2e-2
 
 
+def test_clamp_rep_bounds_group_rows():
+    from quantizedattention_tpu.tune.config import BlockConfig
+
+    cfg = BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=1024,
+                      block_kv_bwd=1024)
+    assert cfg.clamp_rep(1) is cfg
+    assert cfg.clamp_rep(4) is cfg  # rep*block_q == 4096 budget: unchanged
+    assert cfg.clamp_rep(8).block_q == 512
+    c16 = cfg.clamp_rep(16)
+    assert c16.block_q == 256 and c16.block_q_bwd == 256
+    assert c16.block_kv == 1024  # kv axis untouched
+    assert cfg.clamp_rep(64).block_q == 128  # floor
+    assert c16.clamp_rep(16) == c16  # idempotent
+
+
+def test_mqa_large_rep_long_seq_clamps_and_matches():
+    """rep=16 at T=1024: the default block_q=1024 would put rep*block_q*128
+    f32 softmax-stat scratch at 16.8 MB — over v5e's 16 MB scoped VMEM
+    (Mosaic enforces this only on real lowering, CLAUDE.md). clamp_rep
+    shrinks block_q to 256; this pins the clamped tiling's correctness
+    (fwd + custom_vjp grads, and int8 where the quantization grain must
+    track the clamp) against the repeated-KV path."""
+    q, k, v, do = _qkv(jax.random.key(9), 1, 16, 1, 1024, 64, dtype=jnp.bfloat16)
+
+    def loss_g(q_, k_, v_):
+        return jnp.vdot(flash_attention_bf16(q_, k_, v_, causal=True), do)
+
+    def loss_r(q_, k_, v_):
+        kr, vr = jnp.repeat(k_, 16, 1), jnp.repeat(v_, 16, 1)
+        return jnp.vdot(flash_attention_bf16(q_, kr, vr, causal=True), do)
+
+    (lg, (gq, gk, gv)) = jax.value_and_grad(loss_g, argnums=(0, 1, 2))(q, k, v)
+    (lr, (rq, rk, rv)) = jax.value_and_grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    assert gk.shape == k.shape
+    np.testing.assert_allclose(float(lg), float(lr), rtol=1e-5)
+    for got, want in ((gq, rq), (gk, rk), (gv, rv)):
+        g32, w32 = np.asarray(got, np.float32), np.asarray(want, np.float32)
+        scale = float(np.max(np.abs(w32)))
+        assert float(np.max(np.abs(g32 - w32))) / scale < 2e-2
+
+    # int8: quantize_qkv's q grain, the fwd kernel, and the residual-derived
+    # backward must all land on the same clamped block_q. The oracle run
+    # pins the SAME grain explicitly (clamp_rep is a no-op on it at rep=1),
+    # since a different q-quantization grain changes the scales themselves.
+    from quantizedattention_tpu.tune.config import BlockConfig
+
+    cfg = BlockConfig(block_q=256, block_kv=1024, block_q_bwd=256,
+                      block_kv_bwd=1024)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    o_g = sage_attention_int8(qf, kf, vf, causal=True)  # clamps to cfg's grain
+    o_r = sage_attention_int8(
+        qf, jnp.repeat(kf, 16, 1), jnp.repeat(vf, 16, 1), causal=True,
+        config=cfg,
+    )
+    np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_r), atol=1e-5, rtol=0)
+
+
 def test_gqa_int8_matches_repeated():
     q, k, v, do = _qkv(jax.random.key(5), 2, 8, 2, 256, 64)
     rep = 4
