@@ -63,6 +63,7 @@ from quantizedattention_tpu.serve.scheduler import (
     make_pager,
     make_scheduler,
 )
+from quantizedattention_tpu.serve.prefix_store import make_prefix_store
 
 
 @dataclasses.dataclass
@@ -111,6 +112,7 @@ class ServingEngine:
         decode_horizon: int = 1,
         prefill_chunk: int | None = None,
         adaptive_horizon: int | None = None,
+        prefix_cache: bool = False,
     ):
         if param_dtype is not None:
             # serving needs no f32 master weights; bf16 halves weight HBM
@@ -143,6 +145,22 @@ class ServingEngine:
                 raise ValueError("prefill_chunk must be a positive multiple of 128")
             if cache == "paged" and prefill_chunk % page_size != 0:
                 raise ValueError("prefill_chunk must be a multiple of page_size")
+        # Automatic prefix caching (vLLM-style, host-side policy —
+        # serve/prefix_store.py): requests sharing a token prefix reuse the
+        # quantized KV pages already in the pool; only the tail prefills,
+        # through the chunked path (which reads the cached prefix via the
+        # slot's page table). Requires the paged cache (page identity is the
+        # sharing unit) and prefill_chunk (the tail-prefill mechanism + the
+        # compile-bounded chunk grid the reuse boundary rounds down to).
+        self.prefix_cache = prefix_cache
+        if prefix_cache:
+            if cache != "paged":
+                raise ValueError("prefix_cache=True requires cache='paged'")
+            if prefill_chunk is None:
+                raise ValueError(
+                    "prefix_cache=True requires prefill_chunk (the tail-only "
+                    "prefill rides the chunked-prefill path)"
+                )
         self._pending: dict | None = None  # in-flight chunked prefill
         self._pending_decode_turn = False
         # Pipelined host path: every token-producing dispatch (horizon bank,
@@ -168,7 +186,16 @@ class ServingEngine:
         self._pager = None
         self._pagers = None  # per-data-shard pagers (mesh + paged)
         self._slots_per_shard = n_slots
+        # page bookkeeping per slot: _slot_pages = PRIVATE pages (returned
+        # to the pager on completion); _slot_shared = store-owned pages this
+        # slot holds references on; _slot_row = the full table row in prefix
+        # order; _slot_prefix = tokens covered by the shared prefix (the
+        # tail prefill starts there).
         self._slot_pages: list[list[int]] = [[] for _ in range(n_slots)]
+        self._slot_shared: list[list[int]] = [[] for _ in range(n_slots)]
+        self._slot_row: list[list[int]] = [[] for _ in range(n_slots)]
+        self._slot_prefix: list[int] = [0] * n_slots
+        self._prefix_stores = None
         if cache == "paged":
             # one allocator; the same page ids index every layer's pool.
             # Each layer's cache carries its own (tiny, identical) page
@@ -190,6 +217,14 @@ class ServingEngine:
                 for _ in range(n_shards)
             ]
             self._pager = self._pagers[0]
+            if prefix_cache:
+                # one store per shard: page ids are shard-local, and a slot
+                # only ever shares with slots of the same data shard (the
+                # pools are private — matching the device-side sharding)
+                self._prefix_stores = [
+                    make_prefix_store(page_size, prefer_native=scheduler == "native")
+                    for _ in range(n_shards)
+                ]
             caches = [
                 init_paged_cache(
                     cfg.n_kv_heads, n_pages * n_shards, n_slots, max_pages_per_seq,
@@ -358,6 +393,10 @@ class ServingEngine:
         }
         if self._pagers is not None:
             s["pages_free"] = sum(p.num_free for p in self._pagers)
+        if self._prefix_stores is not None:
+            s["prefix_nodes"] = sum(st.n_nodes for st in self._prefix_stores)
+            s["prefix_hit_pages"] = sum(st.hits for st in self._prefix_stores)
+            s["prefix_miss_pages"] = sum(st.misses for st in self._prefix_stores)
         s["ledger"] = dict(self._ledger)
         return s
 
@@ -411,9 +450,17 @@ class ServingEngine:
             self._budgets.pop(rid, None)
             self._slot_req[slot] = -1
             self.active = self.active.at[slot].set(False)
-            if self._pagers is not None and self._slot_pages[slot]:
-                self._pagers[slot // self._slots_per_shard].free(self._slot_pages[slot])
+            if self._pagers is not None:
+                shard = slot // self._slots_per_shard
+                if self._slot_pages[slot]:
+                    self._pagers[shard].free(self._slot_pages[slot])
+                if self._prefix_stores is not None and self._slot_shared[slot]:
+                    # shared pages stay CACHED in the store (refcount drops;
+                    # eviction returns them to the pager under pressure)
+                    self._prefix_stores[shard].release(self._slot_shared[slot])
                 self._slot_pages[slot] = []
+                self._slot_shared[slot] = []
+                self._slot_row[slot] = []
 
     def _next_key(self):
         if self._key is None:
@@ -423,8 +470,13 @@ class ServingEngine:
 
     def _start_chunked_prefill(self, rid: int, slot: int, prompt):
         """Begin chunked admission: the slot is reserved now, and step()
-        interleaves decode steps between the chunks."""
-        self._pending = {"rid": rid, "slot": slot, "prompt": prompt, "next": 0}
+        interleaves decode steps between the chunks. With a prefix-cache
+        hit, the first chunk starts AT the cached boundary (a chunk-grid
+        multiple — _admit_pages rounds it down) and attends to the shared
+        prefix pages through the slot's table, exactly as any later chunk
+        attends to its own earlier chunks."""
+        start = self._slot_prefix[slot] // self.prefill_chunk if self._slot_prefix[slot] else 0
+        self._pending = {"rid": rid, "slot": slot, "prompt": prompt, "next": start}
         self._pending_decode_turn = True
         self._do_prefill_chunk()
 
@@ -451,6 +503,7 @@ class ServingEngine:
             return
         self._pending = None
         self._slot_req[slot] = rid
+        self._register_prefix(slot, rid)
         # first token stays on device (no host fetch): it seeds last_tok
         # directly and its host-side record is deferred to the next flush
         self.last_tok = self.last_tok.at[slot].set(tok)
@@ -480,19 +533,66 @@ class ServingEngine:
         submit() guarantees the request fits an empty pool, so no live-lock.
         """
         ps = self._page_size
+        shard = slot // self._slots_per_shard
         prompt = self._prompts[rid]
         n_need = -(-(len(prompt) + self._budgets[rid]) // ps)
-        pages = self._pagers[slot // self._slots_per_shard].alloc(n_need)
+
+        # prefix-cache hit: reuse cached FULL pages for the longest matching
+        # prefix, rounded DOWN to the chunk grid (the tail prefill reuses
+        # the already-compiled chunk functions) and capped so at least one
+        # prompt token is always computed (the last-token logits seed the
+        # first sampled token).
+        hit: list[int] = []
+        store = None if self._prefix_stores is None else self._prefix_stores[shard]
+        if store is not None:
+            chunk_pages = self.prefill_chunk // ps
+            hit = store.lookup(prompt, max_pages=(len(prompt) - 1) // ps)
+            hit = hit[: (len(hit) // chunk_pages) * chunk_pages]
+            if hit:
+                # reference the hit BEFORE any eviction can run below
+                store.acquire(hit)
+
+        n_fresh = n_need - len(hit)
+        pager = self._pagers[shard]
+        pages = pager.alloc(n_fresh)
+        if pages is None and store is not None:
+            # pool pressure: recycle cached-but-unreferenced store pages
+            evicted = store.evict(n_fresh - pager.num_free)
+            if evicted:
+                pager.free(evicted)
+                pages = pager.alloc(n_fresh)
         if pages is None:
+            if hit:
+                store.release(hit)
             self.sched.requeue(slot)
             return False
+        row = hit + pages
         self._slot_pages[slot] = pages
+        self._slot_shared[slot] = hit
+        self._slot_row[slot] = row
+        self._slot_prefix[slot] = len(hit) * ps
         max_pages = self.caches[0].page_table.shape[1]
-        table_row = jnp.asarray(pages + [0] * (max_pages - len(pages)), jnp.int32)
+        table_row = jnp.asarray(row + [0] * (max_pages - len(row)), jnp.int32)
         self.caches = [
             assign_pages(c, jnp.int32(slot), table_row) for c in self.caches
         ]
         return True
+
+    def _register_prefix(self, slot: int, rid: int):
+        """Offer the freshly prefilled prompt's immutable (full) pages to
+        the prefix store; pages the store adopts move from the slot's
+        private list to its shared list (released, not freed, on drop)."""
+        if self._prefix_stores is None:
+            return
+        prompt = self._prompts[rid]
+        n_full = len(prompt) // self._page_size
+        if n_full == 0:
+            return
+        store = self._prefix_stores[slot // self._slots_per_shard]
+        owned = store.register(prompt, self._slot_row[slot][:n_full])
+        owned_set = set(owned)
+        self._slot_shared[slot] = owned
+        self._slot_pages[slot] = [p for p in self._slot_row[slot] if p not in owned_set]
 
     def _do_prefill(self, rid: int, slot: int):
         prompt = self._prompts[rid]
@@ -500,8 +600,10 @@ class ServingEngine:
             if self.sched.num_active > 0:
                 self._do_decode()
             return
-        if self._needs_chunking(prompt):
-            # pages (if paged) are assigned; the chunk grid is page-aligned
+        if self._needs_chunking(prompt) or self._slot_prefix[slot] > 0:
+            # pages (if paged) are assigned; the chunk grid is page-aligned.
+            # A prefix-cache hit ALWAYS takes this path (even a short tail):
+            # the chunked step is the tail-only prefill mechanism.
             self._start_chunked_prefill(rid, slot, prompt)
             return
         # BATCHED ADMISSION (single-host): while more requests are waiting
@@ -517,7 +619,7 @@ class ServingEngine:
                 p2 = self._prompts[rid2]
                 if self.cache_kind == "paged" and not self._admit_pages(rid2, slot2):
                     break  # rid2 requeued; serve what we have
-                if self._needs_chunking(p2):
+                if self._needs_chunking(p2) or self._slot_prefix[slot2] > 0:
                     # serve the collected batch, then chunk this one
                     self._dispatch_prefills(batch)
                     self._start_chunked_prefill(rid2, slot2, p2)
@@ -538,6 +640,7 @@ class ServingEngine:
             self._ledger["dispatches"] += 1
             self._ledger["dispatch_s"] += time.perf_counter() - t0
             self._slot_req[slot] = rid
+            self._register_prefix(slot, rid)
             # seed last_tok with the DEVICE scalar — no host fetch on this
             # path; the host-side record is deferred to the next flush
             # (dispatch-before-fetch, same as the decode banks)
@@ -561,6 +664,7 @@ class ServingEngine:
         self._ledger["dispatch_s"] += time.perf_counter() - t0
         for i, (rid_i, slot_i, _) in enumerate(batch):
             self._slot_req[slot_i] = rid_i
+            self._register_prefix(slot_i, rid_i)
         self.last_tok = self.last_tok.at[slots].set(toks)
         self.pos = self.pos.at[slots].set(true_lens)
         self.active = self.active.at[slots].set(True)
