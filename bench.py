@@ -476,6 +476,64 @@ def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4,
     return total / dt
 
 
+def bench_prefix_cache(n_slots=8, shared=768, tail=64, n_tokens=32,
+                       n_layers=4):
+    """Automatic-prefix-caching A/B (paged engine): a wave of requests that
+    share a long prompt prefix, served cold (full prefills) vs warm (tail
+    prefills reading the cached prefix pages). The win is skipped prefill
+    compute + skipped prefill dispatches; tokens are exact either way
+    (tests/test_prefix_cache.py)."""
+    from quantizedattention_tpu.models import TransformerConfig, init_transformer
+    from quantizedattention_tpu.serve import ServingEngine
+    import numpy as _np
+
+    ctx = shared + tail
+    cfg = TransformerConfig(
+        vocab_size=8192, d_model=1024, n_heads=16, n_kv_heads=16, head_dim=64,
+        n_layers=n_layers, max_seq=ctx + 256, attention="bf16",
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    rng = _np.random.default_rng(0)
+    prefix = list(rng.integers(1, cfg.vocab_size, size=shared))
+
+    def waves():
+        # two waves with the same shared prefix, distinct tails: wave 1
+        # seeds (or, cold, just runs); wave 2 is the measured one
+        return [
+            [prefix + list(rng.integers(1, cfg.vocab_size, size=tail))
+             for _ in range(n_slots)]
+            for _ in range(2)
+        ]
+
+    def run_engine(prefix_cache):
+        eng = ServingEngine(
+            params, cfg, n_slots=n_slots, scheduler="native",
+            param_dtype=jnp.bfloat16, cache="paged", page_size=128,
+            prefill_chunk=256, decode_horizon=n_tokens,
+            prefix_cache=prefix_cache,
+        )
+        w1, w2 = waves()
+        for p in w1:  # compile + (warm) seed the store
+            eng.submit(p, n_tokens)
+        eng.run()
+        for p in w2:
+            eng.submit(p, n_tokens)
+        t0 = time.perf_counter()
+        res = eng.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(r.tokens) for r in res.values())
+        return total / dt, eng.stats()
+
+    cold_tps, _ = run_engine(False)
+    warm_tps, s = run_engine(True)
+    log(f"--- prefix-cache A/B: {n_slots} slots x ({shared} shared + {tail} "
+        f"tail) prompt, {n_tokens} new tokens, {n_layers}L ---")
+    log(f"cold {cold_tps:,.0f} tok/s  ->  warm {warm_tps:,.0f} tok/s "
+        f"({warm_tps/cold_tps:.2f}x; hit pages {s.get('prefix_hit_pages', 0)}, "
+        f"miss pages {s.get('prefix_miss_pages', 0)})")
+    return warm_tps / cold_tps
+
+
 def _section(name, fn, *args, **kwargs):
     """Run one NON-headline bench section; a failure (transient relay flap,
     OOM at an exotic shape) logs and moves on instead of killing the whole
@@ -534,6 +592,8 @@ def main():
     # adaptive bank sizing A/B (round-4 verdict #6): fewer dispatch+fetch
     # cycles for the same token budget when the queue is empty
     _section("engine-12L-adaptive", bench_engine, n_layers=12, adaptive=128)
+    # automatic prefix caching: shared-prefix wave, cold vs warm
+    _section("prefix-cache", bench_prefix_cache)
     if per_step_12 and eng_12:
         log(f"engine-12L vs device-12L step rate: "
             f"{eng_12 / (8 / per_step_12) * 100:.0f}% of device rate")
