@@ -19,6 +19,7 @@ from quantizedattention_tpu.models.transformer import (
     prefill_batched,
     decode_step_batched,
     sample_token,
+    Sampling,
 )
 from quantizedattention_tpu.models.dit import (
     DiTConfig,
@@ -40,6 +41,7 @@ __all__ = [
     "prefill_batched",
     "decode_step_batched",
     "sample_token",
+    "Sampling",
     "DiTConfig",
     "init_dit",
     "dit_forward",

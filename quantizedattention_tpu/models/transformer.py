@@ -185,13 +185,78 @@ def _mlp_residual(layer, x):
     return x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
 
 
-def sample_token(logits, temperature: float = 0.0, key=None):
-    """Greedy (temperature 0) or temperature-scaled categorical sampling."""
-    if temperature == 0.0 or key is None:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(key, logits.astype(jnp.float32) / temperature).astype(
-        jnp.int32
+@dataclasses.dataclass(frozen=True)
+class Sampling:
+    """Static sampling spec: temperature scaling plus top-k / nucleus
+    (top-p) filtering. Frozen + hashable, so it rides the existing
+    `temperature` argument of every decode/prefill function as a static
+    jit arg — a plain float keeps meaning "temperature only".
+
+    top_k=0 and top_p=1.0 disable the respective filter. Filter order is
+    the standard one (HF/vLLM): scale by temperature, keep the k highest
+    logits, then keep the smallest set whose probability mass reaches
+    top_p (always >= 1 token).
+    """
+
+    temperature: float = 1.0
+    top_k: int = 0
+    top_p: float = 1.0
+
+    def __post_init__(self):
+        if self.temperature < 0.0:
+            raise ValueError("temperature must be >= 0")
+        if self.top_k < 0:
+            raise ValueError("top_k must be >= 0")
+        if not 0.0 < self.top_p <= 1.0:
+            raise ValueError("top_p must be in (0, 1]")
+
+
+def sampling_temperature(temperature) -> float:
+    """The float temperature of a float-or-Sampling `temperature` value."""
+    return (
+        temperature.temperature
+        if isinstance(temperature, Sampling)
+        else float(temperature)
     )
+
+
+def _filter_logits(scaled, spec: Sampling):
+    """Mask temperature-scaled logits outside the top-k / top-p set to -inf.
+
+    Works on [..., vocab]; static spec, so disabled filters trace away.
+    Ties at the nucleus boundary are all kept (the usual convention).
+    """
+    neg = jnp.array(-jnp.inf, scaled.dtype)
+    if spec.top_k > 0 and spec.top_k < scaled.shape[-1]:
+        kth = jax.lax.top_k(scaled, spec.top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, neg, scaled)
+    if spec.top_p < 1.0:
+        srt = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)  # descending
+        probs = jax.nn.softmax(srt, axis=-1)
+        # keep a sorted prefix: every token whose PRECEDING cumulative mass
+        # is < top_p (the first token always qualifies)
+        keep = (jnp.cumsum(probs, axis=-1) - probs) < spec.top_p
+        n_keep = jnp.sum(keep, axis=-1, keepdims=True)
+        cut = jnp.take_along_axis(srt, n_keep - 1, axis=-1)
+        scaled = jnp.where(scaled < cut, neg, scaled)
+    return scaled
+
+
+def sample_token(logits, temperature=0.0, key=None):
+    """Greedy (temperature 0), temperature-scaled categorical, or — when
+    `temperature` is a `Sampling` spec — top-k / top-p filtered sampling.
+    Accepts [vocab] or [batch, vocab] logits (one draw per row)."""
+    spec = (
+        temperature
+        if isinstance(temperature, Sampling)
+        else Sampling(temperature=float(temperature))
+    )
+    if spec.temperature == 0.0 or key is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = _filter_logits(
+        logits.astype(jnp.float32) / spec.temperature, spec
+    )
+    return jax.random.categorical(key, scaled).astype(jnp.int32)
 
 
 def decode_step_batched(
@@ -436,16 +501,19 @@ def prefill_batched(
 
 def generate(
     params, prompt, cfg: TransformerConfig, max_new_tokens: int = 16,
-    temperature: float = 0.0, key=None,
+    temperature: float = 0.0, key=None, top_k: int = 0, top_p: float = 1.0,
 ):
     """Decoding with the int8 KV cache: one fused prefill pass over the
     whole prompt, then batched single-token decode steps — the same numerics
     as the continuous-batching engine (serve/engine.py). Greedy by default;
-    temperature > 0 (with a PRNG `key`) samples.
+    temperature > 0 (with a PRNG `key`) samples, optionally top-k / top-p
+    filtered.
 
     prompt: [B, T0] int32; returns [B, T0 + max_new_tokens].
     """
-    if temperature > 0.0 and key is None:
+    if top_k or top_p < 1.0:
+        temperature = Sampling(sampling_temperature(temperature), top_k, top_p)
+    if sampling_temperature(temperature) > 0.0 and key is None:
         raise ValueError("temperature > 0 requires a PRNG key")
     b, t0 = prompt.shape
     caches = [
@@ -455,7 +523,7 @@ def generate(
 
     def next_key():
         nonlocal key
-        if key is None or temperature == 0.0:
+        if key is None or sampling_temperature(temperature) == 0.0:
             return None
         key, sub = jax.random.split(key)
         return sub

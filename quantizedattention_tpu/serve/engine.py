@@ -40,6 +40,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from quantizedattention_tpu.models.transformer import (
+    Sampling,
     TransformerConfig,
     decode_horizon_batched,
     decode_step_batched,
@@ -48,6 +49,7 @@ from quantizedattention_tpu.models.transformer import (
     prefill_slots,
     rmsnorm,
     rope,
+    sampling_temperature,
 )
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
@@ -104,6 +106,8 @@ class ServingEngine:
         scheduler: str = "native",
         mesh: Mesh | None = None,
         temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
         seed: int = 0,
         cache: str = "slotted",
         page_size: int = 128,
@@ -177,8 +181,16 @@ class ServingEngine:
         # folklore. Counters reset per run().
         self._ledger = {"dispatches": 0, "fetches": 0,
                         "dispatch_s": 0.0, "fetch_s": 0.0}
+        if top_k or top_p < 1.0:
+            # a static Sampling spec rides the `temperature` argument of
+            # every decode/prefill function (models/transformer.py
+            # sample_token); a plain float stays a plain float so the
+            # greedy/temperature-only jit caches are unchanged
+            temperature = Sampling(float(temperature), top_k, top_p)
         self.temperature = temperature
-        self._key = jax.random.key(seed) if temperature > 0.0 else None
+        self._key = (
+            jax.random.key(seed) if sampling_temperature(temperature) > 0.0 else None
+        )
         self.sched = make_scheduler(n_slots, cfg.max_seq, prefer_native=scheduler == "native")
 
         self.cache_kind = cache
@@ -854,16 +866,19 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, key,
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
     logits = x[:, 0] @ params["unembed"]
-    if temperature == 0.0 or key is None:
+    if sampling_temperature(temperature) == 0.0 or key is None:
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
         # decorrelate across data shards: fold the global slot id into the
-        # (replicated) step key, one categorical draw per row
+        # (replicated) step key, one sample_token draw per row (handles
+        # temperature-only floats and top-k/top-p Sampling specs alike)
+        from quantizedattention_tpu.models.transformer import sample_token
+
         rows = jax.lax.axis_index("data") * b_loc + jnp.arange(b_loc)
         keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(rows)
         tok = jax.vmap(
-            lambda kk, lg: jax.random.categorical(kk, lg.astype(jnp.float32) / temperature)
-        )(keys, logits).astype(jnp.int32)
+            lambda kk, lg: sample_token(lg, temperature, kk)
+        )(keys, logits)
     return tok, new_caches
 
 
@@ -945,7 +960,11 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
 
         def body(i, state):
             bank, caches, last_tok, pos = state
-            k_i = None if temperature == 0.0 else jax.random.fold_in(key, i)
+            k_i = (
+                None
+                if sampling_temperature(temperature) == 0.0
+                else jax.random.fold_in(key, i)
+            )
             nxt, caches = _sharded_decode_step(
                 params, caches, last_tok, pos, active, k_i, cfg, temperature
             )
@@ -961,7 +980,7 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
 
     def step(params, caches, last_tok, pos, active, key=None):
         if key is None:
-            if temperature > 0.0:
+            if sampling_temperature(temperature) > 0.0:
                 raise ValueError("temperature > 0 requires a PRNG key per step")
             key = jax.random.key(0)  # unused placeholder (greedy path)
         return _step(params, caches, last_tok, pos, active, key)
@@ -1037,7 +1056,7 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
             new_caches.append(cache_l)
         x = rmsnorm(x, params["final_norm"])
         logits = x[0, true_len - 1] @ params["unembed"]
-        k_s = None if temperature == 0.0 else key
+        k_s = None if sampling_temperature(temperature) == 0.0 else key
         return sample_token(logits, temperature, k_s), new_caches
 
     _jitted = jax.jit(sharded)
@@ -1153,7 +1172,7 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                 return jnp.zeros((), jnp.int32), new_caches
             x = rmsnorm(x, params["final_norm"])
             logits = x[0, true_end - 1 - chunk_start] @ params["unembed"]
-            k_s = None if temperature == 0.0 else key
+            k_s = None if sampling_temperature(temperature) == 0.0 else key
             return sample_token(logits, temperature, k_s), new_caches
 
         return jax.jit(sharded)
