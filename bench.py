@@ -373,8 +373,13 @@ def bench_jvp(B=4, H=16, T=4096, D=64):
     return t_fast
 
 
-def bench_decode(n_slots=8, ctx=1024, n_layers=4):
-    """Serving decode step tokens/s at full context (stderr detail)."""
+def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None):
+    """Serving decode step tokens/s at full context (stderr detail).
+
+    weight_quant: None (bf16 weights), "pallas" (int8 weights through the
+    in-VMEM-dequant kernel, ops/int8_linear.py), or "xla" (int8 weights
+    dequantized by XLA) — decode is weight-HBM-bound, so int8 weights
+    bound the next 2x after the measured bf16 1.5x."""
     from quantizedattention_tpu.models import (
         TransformerConfig, decode_step_batched, init_transformer, prefill_batched,
     )
@@ -392,6 +397,10 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4):
     params = init_transformer(jax.random.key(0), cfg)
     # serving weights in bf16 (decode is weight-HBM-bound: measured 1.5x)
     params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    if weight_quant is not None:
+        from quantizedattention_tpu.quantize import quantize_lm_weights
+
+        params = quantize_lm_weights(params, via=weight_quant)
     caches = [init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
               for _ in params["layers"]]
     prompt = jax.random.randint(jax.random.key(2), (n_slots, ctx), 0, cfg.vocab_size)
@@ -421,8 +430,9 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4):
     times.sort()
     per_step = times[len(times) // 2] / n
     blk = resolve_decode_block(cfg.max_seq, cfg.head_dim)
+    wq = f", int8 weights ({weight_quant})" if weight_quant else ""
     log(f"--- serving decode: {n_slots} slots, ctx {ctx}, "
-        f"{n_layers}L/1024d model ---")
+        f"{n_layers}L/1024d model{wq} ---")
     log(f"decode step: {per_step*1e3:7.3f} ms  ->  {n_slots/per_step:,.0f} tokens/s"
         f"  (decode block_kv={blk}, "
         f"{'tuned' if blk != 512 else 'default/tuned-equal'})")
@@ -584,6 +594,13 @@ def main():
     _section("train-d128", bench_train_step, B=2, H=8, T=4096, D=128)
     _section("jvp", bench_jvp)
     per_step_4 = _section("decode-4L", bench_decode)
+    # weight-only int8 A/B: decode is weight-HBM-bound, int8 halves the
+    # weight bytes again after bf16; pallas kernel vs XLA-dequant arms
+    w8 = _section("decode-4L-w8", bench_decode, weight_quant="pallas")
+    w8x = _section("decode-4L-w8-xla", bench_decode, weight_quant="xla")
+    if per_step_4 and w8:
+        log(f"int8-weight decode speedup: pallas {per_step_4/w8:.2f}x"
+            + (f", xla {per_step_4/w8x:.2f}x" if w8x else ""))
     _section("engine-4L", bench_engine)
     # deeper model: a 12-layer profile where per-layer cache traffic and
     # host-loop overheads scale differently (round-2 verdict weak #3)

@@ -29,6 +29,7 @@ from quantizedattention_tpu.parallel.paged_cache import (
     paged_decode_attention,
     write_prompt_paged,
 )
+from quantizedattention_tpu.quantize.weights import embedding_lookup, mm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,9 +122,9 @@ def _attention(q, k, v, cfg: TransformerConfig, attention_fn=None):
 
 def _project_qkv(layer, x, cfg: TransformerConfig, positions):
     b, t, _ = x.shape
-    q = (x @ layer["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    k = (x @ layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
-    v = (x @ layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    q = mm(x, layer["wq"]).reshape(b, t, cfg.n_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = mm(x, layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = mm(x, layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     q = rope(q, positions, cfg.rope_base)
     k = rope(k, positions, cfg.rope_base)
     return q, k, v
@@ -135,20 +136,20 @@ def _block(layer, x, cfg: TransformerConfig, positions, attention_fn=None):
     o = _attention(q, k, v, cfg, attention_fn)
     b, _, t, _ = o.shape
     o = o.transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * cfg.head_dim)
-    x = x + (o.astype(x.dtype) @ layer["wo"])
+    x = x + mm(o.astype(x.dtype), layer["wo"])
     h = rmsnorm(x, layer["ln2"])
-    x = x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
+    x = x + mm(jax.nn.gelu(mm(h, layer["w1"])), layer["w2"])
     return x
 
 
 def transformer_forward(params, tokens, cfg: TransformerConfig, attention_fn=None):
     """tokens [B, T] int32 -> logits [B, T, vocab] f32."""
     positions = jnp.arange(tokens.shape[1])
-    x = params["embed"][tokens]
+    x = embedding_lookup(params["embed"], tokens)
     for layer in params["layers"]:
         x = _block(layer, x, cfg, positions, attention_fn)
     x = rmsnorm(x, params["final_norm"])
-    return x @ params["unembed"]
+    return mm(x, params["unembed"])
 
 
 def lm_loss(params, tokens, targets, cfg: TransformerConfig):
@@ -182,7 +183,7 @@ def make_train_step(cfg: TransformerConfig, optimizer=None):
 
 def _mlp_residual(layer, x):
     h = rmsnorm(x, layer["ln2"])
-    return x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
+    return x + mm(jax.nn.gelu(mm(h, layer["w1"])), layer["w2"])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -269,7 +270,7 @@ def decode_step_batched(
     position (per-row RoPE); inactive slots ride along but never advance
     their cache (append_kv active mask). Returns (next_tok [n_slots], caches).
     """
-    x = params["embed"][last_tok][:, None, :]
+    x = embedding_lookup(params["embed"], last_tok)[:, None, :]
     positions = pos[:, None]  # [n_slots, 1]
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
@@ -282,10 +283,10 @@ def decode_step_batched(
             cache = append_kv(cache, k, v, active=active)
             o = decode_attention(q[:, :, 0, :], cache)  # GQA-native
         o = o.reshape(x.shape[0], 1, cfg.n_heads * cfg.head_dim)
-        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
-    logits = x[:, 0] @ params["unembed"]
+    logits = mm(x[:, 0], params["unembed"])
     return sample_token(logits, temperature, key), new_caches
 
 
@@ -338,7 +339,7 @@ def prefill_slot(
     RIGHT, so causal masking keeps them out of every real row's softmax, and
     write_kv_slot sets length = true_len so decode never sees them.
     """
-    x = params["embed"][tokens][None]  # [1, t_pad, d_model]
+    x = embedding_lookup(params["embed"], tokens)[None]  # [1, t_pad, d_model]
     positions = jnp.arange(tokens.shape[0])
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
@@ -352,10 +353,10 @@ def prefill_slot(
             cache = write_kv_slot(cache, slot, k[0], v[0], true_len)
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(1, -1, cfg.n_heads * cfg.head_dim)
-        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
-    logits = x[0, true_len - 1] @ params["unembed"]
+    logits = mm(x[0, true_len - 1], params["unembed"])
     return sample_token(logits, temperature, key), new_caches
 
 
@@ -387,7 +388,7 @@ def prefill_chunk(
     from quantizedattention_tpu.parallel.ring import _merge_partials
 
     c = tokens.shape[0]
-    x = params["embed"][tokens][None]
+    x = embedding_lookup(params["embed"], tokens)[None]
     positions = chunk_start + jnp.arange(c)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
@@ -434,12 +435,12 @@ def prefill_chunk(
             o2, lse2 = flash_attention_fwd(q, k_pre, v_pre, causal=False)  # GQA-native
             o, lse = _merge_partials(o, lse, o2, lse2)
         o = o.transpose(0, 2, 1, 3).reshape(1, c, cfg.n_heads * cfg.head_dim)
-        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
     if not last:
         return None, new_caches
     x = rmsnorm(x, params["final_norm"])
-    logits = x[0, true_end - 1 - chunk_start] @ params["unembed"]
+    logits = mm(x[0, true_end - 1 - chunk_start], params["unembed"])
     return sample_token(logits, temperature, key), new_caches
 
 
@@ -455,7 +456,7 @@ def prefill_slots(
     engine run while their device compute is ~1 ms each). Returns
     (first tokens [B], caches)."""
     B, t_pad = tokens.shape
-    x = params["embed"][tokens]
+    x = embedding_lookup(params["embed"], tokens)
     positions = jnp.arange(t_pad)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
@@ -468,10 +469,10 @@ def prefill_slots(
                 cache = write_kv_slot(cache, slots[i], k[i], v[i], true_lens[i])
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(B, -1, cfg.n_heads * cfg.head_dim)
-        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
-    logits = x[jnp.arange(B), true_lens - 1] @ params["unembed"]
+    logits = mm(x[jnp.arange(B), true_lens - 1], params["unembed"])
     # sample_token handles [B, vocab] rows (categorical samples per row)
     return sample_token(logits, temperature, key), new_caches
 
@@ -484,7 +485,7 @@ def prefill_batched(
     causal flash kernel in one pass, K/V quantize-appended to every cache
     row (all rows must be at length 0). Returns (next_tok [B], caches)."""
     positions = jnp.arange(prompt.shape[1])
-    x = params["embed"][prompt]
+    x = embedding_lookup(params["embed"], prompt)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
@@ -492,10 +493,10 @@ def prefill_batched(
         cache = append_kv(cache, k, v)
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, cfg.n_heads * cfg.head_dim)
-        x = _mlp_residual(layer, x + o.astype(x.dtype) @ layer["wo"])
+        x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
-    logits = x[:, -1] @ params["unembed"]
+    logits = mm(x[:, -1], params["unembed"])
     return sample_token(logits, temperature, key), new_caches
 
 

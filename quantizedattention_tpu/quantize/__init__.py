@@ -15,6 +15,13 @@ from quantizedattention_tpu.quantize.bf16_correction import (
     APPROX_MAX_TOL,
     amplify_tied_max,
 )
+from quantizedattention_tpu.quantize.weights import (
+    QuantizedWeight,
+    quantize_weight,
+    quantize_lm_weights,
+    mm,
+    embedding_lookup,
+)
 
 __all__ = [
     "absmax_scale",
@@ -26,4 +33,9 @@ __all__ = [
     "BETA",
     "APPROX_MAX_TOL",
     "amplify_tied_max",
+    "QuantizedWeight",
+    "quantize_weight",
+    "quantize_lm_weights",
+    "mm",
+    "embedding_lookup",
 ]

@@ -1,0 +1,139 @@
+"""Weight-only int8 quantization for serving: per-channel scales + a
+drop-in matmul that dispatches plain arrays unchanged.
+
+No reference counterpart (the reference quantizes attention operands only,
+attention_int8.py:97-263); this extends the same symmetric absmax/127
+scheme (quantize/int8.py) to the model's linear weights so decode — which
+is weight-HBM-bound at serving batch sizes — streams half the bytes. The
+compute path is ops/int8_linear.py (in-VMEM dequant, bf16-rate MXU dots);
+an XLA fallback (`via="xla"`) exists for A/B measurement.
+
+Granularity: one f32 scale per OUTPUT channel (the contraction axis is
+reduced, so a per-output-column scale factors exactly out of the dot —
+the quantization error is per-element rounding only, <= 0.5/127 relative
+to each column's absmax). The embedding table quantizes per ROW (gathers
+dequantize the few touched rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from quantizedattention_tpu.ops.int8_linear import int8_weight_matmul
+from quantizedattention_tpu.quantize.int8 import absmax_scale, quantize_int8
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedWeight:
+    """An int8 tensor + f32 per-channel scale along `axis` (static).
+
+    For a [k, n] linear weight, axis=1 (per output column); for a
+    [vocab, d] embedding, axis=0 (per row, dequantized on gather).
+    `via` picks the matmul backend ("pallas" kernel or "xla" dequant
+    fallback) — static aux data, so the same model code A/Bs both.
+    """
+
+    w_i8: jnp.ndarray
+    scale: jnp.ndarray
+    axis: int = 1
+    via: str = "pallas"
+
+    def tree_flatten(self):
+        return (self.w_i8, self.scale), (self.axis, self.via)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], leaves[1], *aux)
+
+    @property
+    def shape(self):
+        return self.w_i8.shape
+
+    @property
+    def dtype(self):  # for param-size accounting / dtype-casting maps
+        return self.w_i8.dtype
+
+    def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+        shape = [1] * self.w_i8.ndim
+        shape[self.axis] = -1
+        return (
+            self.w_i8.astype(jnp.float32) * self.scale.reshape(shape)
+        ).astype(dtype)
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = 1, via: str = "pallas") -> QuantizedWeight:
+    """Symmetric absmax/127 int8 per-channel along `axis` (kept axis)."""
+    reduce_axes = tuple(a for a in range(w.ndim) if a != axis)
+    scale = absmax_scale(w, axis=reduce_axes, keepdims=True)
+    w_i8 = quantize_int8(w, scale)
+    return QuantizedWeight(w_i8, scale.reshape(-1).astype(jnp.float32), axis, via)
+
+
+# transformer LM linear weights ([in, out] — scale per output column) and
+# the embedding table ([vocab, d] — scale per row)
+_LINEAR_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2")
+
+
+def quantize_lm_weights(
+    params: dict, include_embed: bool = True, via: str = "pallas"
+) -> dict:
+    """Quantize a models.transformer param tree's matmul weights to int8.
+
+    Norm gains stay float (tiny, numerically sensitive). Returns a new
+    tree with QuantizedWeight leaves; every decode/prefill path accepts it
+    because all matmuls route through `mm` and gathers through
+    `embedding_lookup`.
+    """
+    out = dict(params)
+    out["layers"] = [
+        {
+            key: quantize_weight(leaf, axis=1, via=via)
+            if key in _LINEAR_KEYS
+            else leaf
+            for key, leaf in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    out["unembed"] = quantize_weight(params["unembed"], axis=1, via=via)
+    if include_embed:
+        out["embed"] = quantize_weight(params["embed"], axis=0, via=via)
+    return out
+
+
+def mm(x: jnp.ndarray, w: Any, via: str | None = None) -> jnp.ndarray:
+    """`x @ w` where w is a plain array OR a QuantizedWeight (axis=1).
+
+    Plain arrays take the ordinary XLA dot (training paths see zero
+    change). Quantized weights run the Pallas in-VMEM-dequant kernel
+    (via="pallas", the default baked into the weight) or the XLA fallback
+    `(x @ w.bf16) * scale` (via="xla", the A/B arm — XLA may or may not
+    fuse the convert into the dot's HBM read; the kernel makes the int8
+    stream explicit). Leading dims of x are flattened into rows.
+    """
+    if not isinstance(w, QuantizedWeight):
+        return x @ w
+    if w.axis != w.w_i8.ndim - 1:
+        raise ValueError("mm wants output-channel scales (axis=last)")
+    if (via or w.via) == "xla":
+        return (x @ w.w_i8.astype(x.dtype)) * w.scale.astype(x.dtype)
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    out = int8_weight_matmul(x.reshape(rows, x.shape[-1]), w.w_i8, w.scale)
+    return out.reshape(*lead, w.w_i8.shape[1])
+
+
+def embedding_lookup(embed: Any, tokens: jnp.ndarray) -> jnp.ndarray:
+    """embed[tokens] for a plain table or a row-quantized QuantizedWeight."""
+    if not isinstance(embed, QuantizedWeight):
+        return embed[tokens]
+    if embed.axis != 0:
+        raise ValueError("embedding_lookup wants per-row scales (axis=0)")
+    rows = embed.w_i8[tokens].astype(jnp.bfloat16)
+    return rows * embed.scale[tokens][..., None].astype(jnp.bfloat16)

@@ -113,6 +113,7 @@ class ServingEngine:
         page_size: int = 128,
         n_pages: int | None = None,
         param_dtype=None,
+        weight_quant: str | None = None,
         decode_horizon: int = 1,
         prefill_chunk: int | None = None,
         adaptive_horizon: int | None = None,
@@ -127,6 +128,22 @@ class ServingEngine:
                 else x,
                 params,
             )
+        if weight_quant is not None:
+            # weight-only int8 (quantize/weights.py): halves weight HBM
+            # traffic again vs bf16 — decode at serving batch is
+            # weight-bandwidth-bound, so this is the next lever after
+            # param_dtype=bf16. Scales stay f32 (quantized after the
+            # param_dtype cast, so nothing re-casts them).
+            if weight_quant != "int8":
+                raise ValueError("weight_quant must be 'int8' or None")
+            if mesh is not None:
+                raise ValueError(
+                    "weight_quant with mesh serving is not supported yet "
+                    "(param_specs has no QuantizedWeight layout)"
+                )
+            from quantizedattention_tpu.quantize.weights import quantize_lm_weights
+
+            params = quantize_lm_weights(params)
         self.cfg = cfg
         self.n_slots = n_slots
         self.eos_id = eos_id

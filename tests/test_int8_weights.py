@@ -1,0 +1,146 @@
+"""Weight-only int8 quantization: per-channel scheme, the Pallas
+dequant-matmul kernel, model-level logits accuracy, and the engine's
+weight_quant='int8' wiring.
+
+No reference counterpart (the reference quantizes attention operands only
+— attention_int8.py:97-263); this extends the serving stack. Tests run the
+kernel in interpret mode on CPU like the attention kernels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedattention_tpu.models import TransformerConfig, generate, init_transformer, transformer_forward
+from quantizedattention_tpu.ops.int8_linear import int8_weight_matmul
+from quantizedattention_tpu.quantize import (
+    QuantizedWeight,
+    embedding_lookup,
+    mm,
+    quantize_lm_weights,
+    quantize_weight,
+)
+
+
+def test_per_channel_roundtrip_bound():
+    """|dequant - w| <= scale/2 per element, scale = column absmax / 127."""
+    w = jax.random.normal(jax.random.key(0), (96, 200)) * jnp.exp(
+        jax.random.normal(jax.random.key(1), (1, 200))  # wildly varied columns
+    )
+    qw = quantize_weight(w)
+    err = jnp.abs(qw.dequantize() - w)
+    assert qw.w_i8.dtype == jnp.int8 and qw.scale.dtype == jnp.float32
+    assert float(jnp.max(err / qw.scale[None, :])) <= 0.5 + 1e-3
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 128, 128), (5, 96, 200), (8, 1024, 512),
+                                   (300, 256, 384)])
+def test_kernel_matches_dequant_reference(m, k, n):
+    """Kernel (interpret mode) == bf16-activation dequant matmul with f32
+    accumulation, at any (un)aligned shape."""
+    x = jax.random.normal(jax.random.key(2), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.key(3), (k, n), jnp.float32)
+    qw = quantize_weight(w)
+    ref = (
+        x.astype(jnp.bfloat16).astype(jnp.float32)
+        @ qw.w_i8.astype(jnp.float32)
+    ) * qw.scale
+    got = int8_weight_matmul(x, qw.w_i8, qw.scale, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4 * float(jnp.max(jnp.abs(ref))))
+
+
+def test_mm_dispatch_and_xla_arm():
+    """mm passes plain arrays through as x @ w; both quantized arms agree
+    (the XLA arm's extra bf16 output rounding bounds the gap)."""
+    x = jax.random.normal(jax.random.key(4), (4, 7, 128), jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(5), (128, 256), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(mm(x, w.astype(jnp.bfloat16))),
+        np.asarray(x @ w.astype(jnp.bfloat16)),
+    )
+    qw = quantize_weight(w)
+    a = mm(x, qw).astype(jnp.float32)       # leading dims flattened for the kernel
+    b = mm(x, qw, via="xla").astype(jnp.float32)
+    assert a.shape == (4, 7, 256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-2 * float(jnp.max(jnp.abs(a))))
+
+
+def test_quantized_embedding_lookup():
+    e = jax.random.normal(jax.random.key(6), (64, 32))
+    qe = quantize_weight(e, axis=0)
+    toks = jnp.array([[0, 3], [63, 1]])
+    got = embedding_lookup(qe, toks)
+    want = e[toks]
+    assert got.shape == (2, 2, 32)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=2e-2 * float(jnp.max(jnp.abs(e))))
+    with pytest.raises(ValueError, match="per-row"):
+        embedding_lookup(quantize_weight(e, axis=1), toks)
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=64, n_heads=2, n_kv_heads=2, head_dim=64,
+        n_layers=2, max_seq=128, attention="bf16",
+    )
+    return init_transformer(jax.random.key(0), cfg), cfg
+
+
+def test_lm_tree_structure_and_forward_accuracy(lm):
+    """quantize_lm_weights: linears + unembed + embed become QuantizedWeight,
+    norms stay float; full-model logits stay close to the f32 model."""
+    params, cfg = lm
+    qparams = quantize_lm_weights(params)
+    layer = qparams["layers"][0]
+    for key in ("wq", "wk", "wv", "wo", "w1", "w2"):
+        assert isinstance(layer[key], QuantizedWeight)
+    assert isinstance(qparams["unembed"], QuantizedWeight)
+    assert isinstance(qparams["embed"], QuantizedWeight) and qparams["embed"].axis == 0
+    assert not isinstance(layer["ln1"], QuantizedWeight)
+    assert not isinstance(qparams["final_norm"], QuantizedWeight)
+
+    tokens = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    full = transformer_forward(params, tokens, cfg)
+    quant = transformer_forward(qparams, tokens, cfg)
+    scale = float(jnp.max(jnp.abs(full)))
+    assert float(jnp.max(jnp.abs(quant.astype(jnp.float32) - full))) < 0.05 * scale
+
+
+def test_generate_with_quantized_weights(lm):
+    params, cfg = lm
+    qparams = quantize_lm_weights(params)
+    prompt = jnp.array([[1, 2, 3, 4]], jnp.int32)
+    out = generate(qparams, prompt, cfg, 6)
+    assert out.shape == (1, 10)
+    assert int(out.max()) < cfg.vocab_size and int(out.min()) >= 0
+
+
+def test_engine_weight_quant(lm):
+    """weight_quant='int8' == manually pre-quantized params, token-exact
+    (same math, so the wiring — not the numerics — is under test); mesh +
+    weight_quant rejects."""
+    from quantizedattention_tpu.serve import ServingEngine
+
+    params, cfg = lm
+    prompts = [[1, 2, 3, 4, 5], [7, 6, 5]]
+
+    def run(p, **kw):
+        eng = ServingEngine(p, cfg, n_slots=2, scheduler="python", **kw)
+        rids = [eng.submit(x, 6) for x in prompts]
+        res = eng.run()
+        return [res[r].tokens for r in rids]
+
+    auto = run(params, weight_quant="int8")
+    manual = run(quantize_lm_weights(params))
+    assert auto == manual
+
+    with pytest.raises(ValueError, match="weight_quant"):
+        ServingEngine(params, cfg, weight_quant="fp4")
+    if len(jax.devices()) >= 4:
+        mesh = jax.make_mesh((2, 2), ("data", "model"))
+        with pytest.raises(ValueError, match="mesh"):
+            ServingEngine(params, cfg, mesh=mesh, weight_quant="int8")
