@@ -377,9 +377,10 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None):
     """Serving decode step tokens/s at full context (stderr detail).
 
     weight_quant: None (bf16 weights), "pallas" (int8 weights through the
-    in-VMEM-dequant kernel, ops/int8_linear.py), or "xla" (int8 weights
-    dequantized by XLA) — decode is weight-HBM-bound, so int8 weights
-    bound the next 2x after the measured bf16 1.5x."""
+    in-VMEM-dequant kernel, ops/int8_linear.py), "xla" (int8 weights
+    dequantized by XLA), or "int4" (packed nibbles + group scales through
+    ops/int4_linear.py) — decode is weight-HBM-bound, so int8 weights
+    bound the next 2x after the measured bf16 1.5x, int4 the 2x after."""
     from quantizedattention_tpu.models import (
         TransformerConfig, decode_step_batched, init_transformer, prefill_batched,
     )
@@ -400,7 +401,10 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None):
     if weight_quant is not None:
         from quantizedattention_tpu.quantize import quantize_lm_weights
 
-        params = quantize_lm_weights(params, via=weight_quant)
+        if weight_quant == "int4":
+            params = quantize_lm_weights(params, bits=4)
+        else:
+            params = quantize_lm_weights(params, via=weight_quant)
     caches = [init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
               for _ in params["layers"]]
     prompt = jax.random.randint(jax.random.key(2), (n_slots, ctx), 0, cfg.vocab_size)
@@ -598,9 +602,11 @@ def main():
     # weight bytes again after bf16; pallas kernel vs XLA-dequant arms
     w8 = _section("decode-4L-w8", bench_decode, weight_quant="pallas")
     w8x = _section("decode-4L-w8-xla", bench_decode, weight_quant="xla")
+    w4 = _section("decode-4L-w4", bench_decode, weight_quant="int4")
     if per_step_4 and w8:
         log(f"int8-weight decode speedup: pallas {per_step_4/w8:.2f}x"
-            + (f", xla {per_step_4/w8x:.2f}x" if w8x else ""))
+            + (f", xla {per_step_4/w8x:.2f}x" if w8x else "")
+            + (f"; int4 {per_step_4/w4:.2f}x" if w4 else ""))
     _section("engine-4L", bench_engine)
     # deeper model: a 12-layer profile where per-layer cache traffic and
     # host-loop overheads scale differently (round-2 verdict weak #3)

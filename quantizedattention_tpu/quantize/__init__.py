@@ -17,7 +17,9 @@ from quantizedattention_tpu.quantize.bf16_correction import (
 )
 from quantizedattention_tpu.quantize.weights import (
     QuantizedWeight,
+    QuantizedWeight4,
     quantize_weight,
+    quantize_weight_int4,
     quantize_lm_weights,
     mm,
     embedding_lookup,
@@ -34,7 +36,9 @@ __all__ = [
     "APPROX_MAX_TOL",
     "amplify_tied_max",
     "QuantizedWeight",
+    "QuantizedWeight4",
     "quantize_weight",
+    "quantize_weight_int4",
     "quantize_lm_weights",
     "mm",
     "embedding_lookup",

@@ -129,13 +129,14 @@ class ServingEngine:
                 params,
             )
         if weight_quant is not None:
-            # weight-only int8 (quantize/weights.py): halves weight HBM
-            # traffic again vs bf16 — decode at serving batch is
-            # weight-bandwidth-bound, so this is the next lever after
-            # param_dtype=bf16. Scales stay f32 (quantized after the
-            # param_dtype cast, so nothing re-casts them).
-            if weight_quant != "int8":
-                raise ValueError("weight_quant must be 'int8' or None")
+            # weight-only quantization (quantize/weights.py): decode at
+            # serving batch is weight-bandwidth-bound, so after the
+            # param_dtype=bf16 lever, int8 halves the streamed weight
+            # bytes again and int4 quarters them. Scales stay f32
+            # (quantized after the param_dtype cast, so nothing re-casts
+            # them).
+            if weight_quant not in ("int8", "int4"):
+                raise ValueError("weight_quant must be 'int8', 'int4', or None")
             if mesh is not None:
                 raise ValueError(
                     "weight_quant with mesh serving is not supported yet "
@@ -143,7 +144,7 @@ class ServingEngine:
                 )
             from quantizedattention_tpu.quantize.weights import quantize_lm_weights
 
-            params = quantize_lm_weights(params)
+            params = quantize_lm_weights(params, bits=4 if weight_quant == "int4" else 8)
         self.cfg = cfg
         self.n_slots = n_slots
         self.eos_id = eos_id

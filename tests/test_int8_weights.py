@@ -13,13 +13,16 @@ import numpy as np
 import pytest
 
 from quantizedattention_tpu.models import TransformerConfig, generate, init_transformer, transformer_forward
+from quantizedattention_tpu.ops.int4_linear import int4_weight_matmul, pack_int4, unpack_int4
 from quantizedattention_tpu.ops.int8_linear import int8_weight_matmul
 from quantizedattention_tpu.quantize import (
     QuantizedWeight,
+    QuantizedWeight4,
     embedding_lookup,
     mm,
     quantize_lm_weights,
     quantize_weight,
+    quantize_weight_int4,
 )
 
 
@@ -81,6 +84,59 @@ def test_quantized_embedding_lookup():
         embedding_lookup(quantize_weight(e, axis=1), toks)
 
 
+def test_int4_pack_roundtrip():
+    """pack/unpack reconstructs every nibble value in [-8, 7] exactly."""
+    w4 = jnp.arange(-8, 8, dtype=jnp.int8).reshape(16, 1) * jnp.ones(
+        (1, 4), jnp.int8
+    )
+    lo, hi = unpack_int4(pack_int4(w4))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(w4[:8], np.int32))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(w4[8:], np.int32))
+
+
+def test_int4_group_roundtrip_bound():
+    """|dequant - w| <= group_scale/2 per element, scale = group absmax/7."""
+    w = jax.random.normal(jax.random.key(7), (512, 96)) * jnp.exp(
+        jax.random.normal(jax.random.key(8), (1, 96))
+    )
+    qw = quantize_weight_int4(w, group=128)
+    assert qw.packed.shape == (256, 96) and qw.scale.shape == (4, 96)
+    err = jnp.abs(qw.dequantize() - w)
+    # err[r, c] <= scale[r // g, c] / 2
+    s_full = jnp.repeat(qw.scale, 128, axis=0)
+    assert float(jnp.max(err / s_full)) <= 0.5 + 1e-3
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 128), (8, 1024, 512), (300, 200, 96)])
+def test_int4_kernel_matches_dequant_reference(m, k, n):
+    """Kernel (interpret mode) == bf16-activation dequant matmul, including
+    k not a multiple of 2*group (padded contraction)."""
+    x = jax.random.normal(jax.random.key(9), (m, k), jnp.float32)
+    w = jax.random.normal(jax.random.key(10), (k, n), jnp.float32)
+    qw = quantize_weight_int4(w, group=128)
+    ref = (
+        x.astype(jnp.bfloat16).astype(jnp.float32) @ qw.dequantize()
+    )
+    got = mm(x, qw).astype(jnp.float32)
+    assert got.shape == (m, n)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref),
+        rtol=2e-2, atol=2e-2 * float(jnp.max(jnp.abs(ref))),
+    )
+    xla = mm(x, qw, via="xla").astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(xla),
+        atol=2e-2 * float(jnp.max(jnp.abs(ref))),
+    )
+
+
+def test_int4_kernel_shape_validation():
+    x = jnp.zeros((4, 256), jnp.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        int4_weight_matmul(x, jnp.zeros((128, 64), jnp.int8),
+                           jnp.zeros((3, 64), jnp.float32), group=128)
+
+
 @pytest.fixture(scope="module")
 def lm():
     cfg = TransformerConfig(
@@ -108,6 +164,57 @@ def test_lm_tree_structure_and_forward_accuracy(lm):
     quant = transformer_forward(qparams, tokens, cfg)
     scale = float(jnp.max(jnp.abs(full)))
     assert float(jnp.max(jnp.abs(quant.astype(jnp.float32) - full))) < 0.05 * scale
+
+
+def test_lm_int4_forward_accuracy(lm):
+    """bits=4: linears+unembed become QuantizedWeight4, embed stays int8
+    per-row; logits track the f32 model within int4's coarser budget."""
+    params, cfg = lm
+    qparams = quantize_lm_weights(params, bits=4)
+    layer = qparams["layers"][0]
+    for key in ("wq", "wk", "wv", "wo", "w1", "w2"):
+        assert isinstance(layer[key], QuantizedWeight4)
+    assert isinstance(qparams["unembed"], QuantizedWeight4)
+    assert isinstance(qparams["embed"], QuantizedWeight)  # gather path: int8
+
+    tokens = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    full = transformer_forward(params, tokens, cfg)
+    quant = transformer_forward(qparams, tokens, cfg).astype(jnp.float32)
+    # The KERNEL must match the same model with explicitly dequantized
+    # weights tightly (isolates kernel error from quantization error) ...
+    deq_tree = jax.tree_util.tree_map(
+        lambda x: x.dequantize(jnp.float32)
+        if isinstance(x, (QuantizedWeight, QuantizedWeight4))
+        else x,
+        qparams,
+        is_leaf=lambda x: isinstance(x, (QuantizedWeight, QuantizedWeight4)),
+    )
+    deq = transformer_forward(deq_tree, tokens, cfg)
+    scale = float(jnp.max(jnp.abs(full)))
+    assert float(jnp.max(jnp.abs(quant - deq))) < 0.03 * scale
+    # ... while int4's inherent quantization error only gets a loose
+    # sanity bound: with RANDOM-INIT weights the per-element absmax/7
+    # rounding noise is large relative to the near-zero logit scale
+    # (max rel err ~0.3 even at d_model=1024), so tightening this bound
+    # would test init statistics, not the code. int4 weight quality on
+    # trained checkpoints is an empirical, model-dependent question.
+    assert float(jnp.max(jnp.abs(quant - full))) < 0.5 * scale
+
+
+def test_engine_weight_quant_int4(lm):
+    """weight_quant='int4' == manually bits=4-quantized params, token-exact."""
+    from quantizedattention_tpu.serve import ServingEngine
+
+    params, cfg = lm
+    prompts = [[1, 2, 3, 4, 5], [7, 6, 5]]
+
+    def run(p, **kw):
+        eng = ServingEngine(p, cfg, n_slots=2, scheduler="python", **kw)
+        rids = [eng.submit(x, 6) for x in prompts]
+        res = eng.run()
+        return [res[r].tokens for r in rids]
+
+    assert run(params, weight_quant="int4") == run(quantize_lm_weights(params, bits=4))
 
 
 def test_generate_with_quantized_weights(lm):
