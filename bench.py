@@ -490,6 +490,59 @@ def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4,
     return total / dt
 
 
+def bench_spec_decode(n_slots=8, ctx=256, n_tokens=96, n_layers=4, k=4,
+                      horizon=32):
+    """Speculative-decoding A/B: the same slots and prompts served by the
+    engine's best plain config (pipelined horizon banks) vs spec_decode=k
+    (host n-gram prompt-lookup drafts + the staircase verify kernel,
+    serve/spec.py). Greedy and token-exact by construction, so the only
+    question is throughput; the win rides the acceptance rate (tokens
+    banked per model pass, reported) — repetitive generations accept a
+    lot, incompressible ones fall back to ~1 token/pass. Prompts here are
+    periodic motifs (the workload spec decode exists for)."""
+    from quantizedattention_tpu.models import TransformerConfig, init_transformer
+    from quantizedattention_tpu.serve import ServingEngine
+
+    cfg = TransformerConfig(
+        vocab_size=8192, d_model=1024, n_heads=16, n_kv_heads=16, head_dim=64,
+        n_layers=n_layers, max_seq=-(-(ctx + 256) // 128) * 128,
+        attention="bf16",
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    prompts = [
+        (list(range(100 + 16 * i, 116 + 16 * i)) * (ctx // 16 + 1))[:ctx]
+        for i in range(n_slots)
+    ]
+
+    def run(**kw):
+        eng = ServingEngine(params, cfg, n_slots=n_slots, scheduler="native",
+                            param_dtype=jnp.bfloat16, **kw)
+        for p in prompts:  # warmup compiles prefill + decode variants
+            eng.submit(p, n_tokens)
+        eng.run()
+        for p in prompts:
+            eng.submit(p, n_tokens)
+        t0 = time.perf_counter()
+        res = eng.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(r.tokens) for r in res.values())
+        return total, dt, eng
+
+    tot_a, dt_a, _ = run(decode_horizon=horizon)
+    tot_b, dt_b, eng_b = run(spec_decode=k)
+    sp = eng_b.stats()["spec"]
+    log(f"--- speculative decode A/B: {n_slots} slots, ctx {ctx} periodic "
+        f"prompt, {n_layers}L model ---")
+    log(f"plain (horizon {horizon}): {tot_a} tokens in {dt_a:.3f}s -> "
+        f"{tot_a/dt_a:,.0f} tokens/s")
+    log(f"spec  (k={k}):            {tot_b} tokens in {dt_b:.3f}s -> "
+        f"{tot_b/dt_b:,.0f} tokens/s  "
+        f"({sp['tokens_per_pass']:.2f} tokens/model-pass, "
+        f"{sp['accepted']} drafts accepted)")
+    log(f"spec-decode speedup: {(tot_b/dt_b)/(tot_a/dt_a):.2f}x")
+    return tot_b / dt_b
+
+
 def bench_prefix_cache(n_slots=8, shared=768, tail=64, n_tokens=32,
                        n_layers=4):
     """Automatic-prefix-caching A/B (paged engine): a wave of requests that
@@ -608,6 +661,7 @@ def main():
             + (f", xla {per_step_4/w8x:.2f}x" if w8x else "")
             + (f"; int4 {per_step_4/w4:.2f}x" if w4 else ""))
     _section("engine-4L", bench_engine)
+    _section("engine-spec", bench_spec_decode)
     # deeper model: a 12-layer profile where per-layer cache traffic and
     # host-loop overheads scale differently (round-2 verdict weak #3)
     per_step_12 = _section("decode-12L", bench_decode, n_layers=12)

@@ -18,6 +18,7 @@ from quantizedattention_tpu.models.transformer import (
     prefill_slot,
     prefill_batched,
     decode_step_batched,
+    verify_step_batched,
     sample_token,
     Sampling,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "prefill_slot",
     "prefill_batched",
     "decode_step_batched",
+    "verify_step_batched",
     "sample_token",
     "Sampling",
     "DiTConfig",

@@ -21,6 +21,7 @@ from quantizedattention_tpu.parallel.kv_cache import (
     append_kv,
     decode_attention,
     init_kv_cache,
+    verify_decode_attention,
     write_kv_slot,
 )
 from quantizedattention_tpu.parallel.paged_cache import (
@@ -288,6 +289,60 @@ def decode_step_batched(
     x = rmsnorm(x, params["final_norm"])
     logits = mm(x[:, 0], params["unembed"])
     return sample_token(logits, temperature, key), new_caches
+
+
+def verify_step_batched(
+    params, caches, last_tok, draft, pos, active, cfg: TransformerConfig,
+):
+    """Speculative-verification decode step (GREEDY): one dispatch scores
+    the last accepted token plus s-1 draft tokens per slot and emits
+    between 1 and s tokens per slot — token-exact with running
+    `decode_step_batched` greedily s times, because every draft token is
+    checked against the model's own argmax before it counts.
+
+    last_tok/pos/active: [n_slots] as in decode_step_batched (pos is the
+    position of last_tok == the row's cache length). draft: [n_slots, s-1]
+    int32 proposed continuations (from any draft source — the engine uses
+    host-side n-gram prompt lookup, serve/spec.py). All s tokens' K/V are
+    appended during the step; rejected tokens' entries are rolled back by
+    shrinking `length` (later appends overwrite them in place).
+
+    Returns (emitted [n_slots, s], n_emit [n_slots], caches): per row,
+    emitted[:n_emit] are the accepted draft tokens followed by the model's
+    own next token (the "bonus" token a plain decode step would produce) —
+    n_emit >= 1 always, so a step never stalls.
+    """
+    n_slots, s_draft = draft.shape
+    s = s_draft + 1
+    tokens = jnp.concatenate([last_tok[:, None], draft], axis=1)  # [n, s]
+    x = embedding_lookup(params["embed"], tokens)
+    positions = pos[:, None] + jnp.arange(s)[None]  # [n, s] per-row RoPE
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln1"])
+        q, k, v = _project_qkv(layer, h, cfg, positions)
+        cache = append_kv(cache, k, v, active=active)
+        o = verify_decode_attention(q, cache)  # [n, H, s, d], causal staircase
+        o = o.transpose(0, 2, 1, 3).reshape(n_slots, s, cfg.n_heads * cfg.head_dim)
+        x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"])
+    logits = mm(x, params["unembed"])  # [n, s, vocab]
+    targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [n, s]
+    # accept the longest prefix of drafts matching the model's argmax
+    match = (draft == targets[:, :-1]).astype(jnp.int32)
+    n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [n] in [0, s-1]
+    emitted = jnp.where(
+        jnp.arange(s)[None] < n_acc[:, None],
+        jnp.pad(draft, ((0, 0), (0, 1))),
+        targets,
+    )
+    # roll back rejected tokens' K/V: keep last_tok + accepted drafts
+    drop = s - 1 - n_acc
+    if active is not None:
+        drop = drop * active.astype(jnp.int32)
+    new_caches = [c._replace(length=c.length - drop) for c in new_caches]
+    return emitted, n_acc + 1, new_caches
 
 
 def decode_horizon_batched(

@@ -47,6 +47,7 @@ from quantizedattention_tpu.parallel.kv_cache import (
     append_kv,
     write_kv_slot,
     decode_attention,
+    verify_decode_attention,
     context_sharded_decode,
     shard_cache_context,
 )
@@ -76,6 +77,7 @@ __all__ = [
     "append_kv",
     "write_kv_slot",
     "decode_attention",
+    "verify_decode_attention",
     "context_sharded_decode",
     "shard_cache_context",
     "PagedKVCache",

@@ -174,7 +174,7 @@ def _decode_kernel(
     q_ref, k_ref, sk_ref, v_ref, sv_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, qk_scale, block_kv, num_kv_blocks,
+    *, qk_scale, block_kv, num_kv_blocks, spec=1,
 ):
     """Grid (batch, kv_blocks); ALL kv heads of one sequence per cell.
 
@@ -216,7 +216,15 @@ def _decode_kernel(
         ) * (sk[:, None, :] * qk_scale)  # [h, group, block_kv]
 
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        mask = cols < length
+        if spec == 1:
+            mask = cols < length
+        else:
+            # Speculative verify: the q-row axis folds `spec` consecutive
+            # positions per GQA group (row r = g*spec + j). The j-th query
+            # is the token at position length - spec + j, so it may attend
+            # keys at cols <= length - spec + j (itself included).
+            row_j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % spec
+            mask = cols < length - (spec - 1) + row_j
         s = jnp.where(mask, s, -jnp.inf)
 
         m_prev = m_scr[...][:, :, :1]
@@ -276,8 +284,40 @@ def decode_attention(
     return _decode_attention(q, cache, sm_scale, block_kv, return_lse, interpret)
 
 
+def verify_decode_attention(
+    q: jnp.ndarray,
+    cache: QuantizedKVCache,
+    sm_scale: float | None = None,
+    block_kv: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Multi-position decode for speculative verification: q [b, H, s, d]
+    holds s consecutive query positions per slot (the last accepted token
+    followed by s-1 draft tokens), whose K/V must ALREADY be appended to
+    the cache (row length includes all s). Query j sits at position
+    length - s + j and attends keys at cols <= length - s + j — a causal
+    staircase the kernel applies per folded q-row, so one dispatch verifies
+    s positions instead of s dispatches (serve/spec.py).
+
+    Returns [b, H, s, d] f32.
+    """
+    b, n_q_heads, s, d = q.shape
+    n_kv = cache.k_i8.shape[1]
+    if n_q_heads % n_kv != 0:
+        raise ValueError(f"{n_q_heads} q heads not a multiple of {n_kv} kv heads")
+    group = n_q_heads // n_kv
+    if block_kv is None:
+        from quantizedattention_tpu.tune.autotune import resolve_decode_block
+
+        block_kv = resolve_decode_block(cache.max_len, d)
+    # fold (group, spec) into the q-row axis: row r = g*s + j
+    qf = q.reshape(b, n_kv, group, s, d).reshape(b, n_kv * group * s, d)
+    o = _decode_attention(qf, cache, sm_scale, block_kv, False, interpret, spec=s)
+    return o.reshape(b, n_kv, group, s, d).reshape(b, n_q_heads, s, d)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_kv", "return_lse", "interpret")
+    jax.jit, static_argnames=("sm_scale", "block_kv", "return_lse", "interpret", "spec")
 )
 def _decode_attention(
     q: jnp.ndarray,
@@ -286,6 +326,7 @@ def _decode_attention(
     block_kv: int = 512,
     return_lse: bool = False,
     interpret: bool | None = None,
+    spec: int = 1,
 ) -> jnp.ndarray:
     if interpret is None:
         interpret = use_interpret_mode()
@@ -324,6 +365,7 @@ def _decode_attention(
         qk_scale=qk_scale,
         block_kv=block_kv,
         num_kv_blocks=num_kv_blocks,
+        spec=spec,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

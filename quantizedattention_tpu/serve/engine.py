@@ -50,7 +50,9 @@ from quantizedattention_tpu.models.transformer import (
     rmsnorm,
     rope,
     sampling_temperature,
+    verify_step_batched,
 )
+from quantizedattention_tpu.serve.spec import propose_lookup
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
     append_kv,
@@ -118,6 +120,8 @@ class ServingEngine:
         prefill_chunk: int | None = None,
         adaptive_horizon: int | None = None,
         prefix_cache: bool = False,
+        spec_decode: int | None = None,
+        spec_ngram: int = 3,
     ):
         if param_dtype is not None:
             # serving needs no f32 master weights; bf16 halves weight HBM
@@ -161,6 +165,30 @@ class ServingEngine:
         if adaptive_horizon is not None and adaptive_horizon < 1:
             raise ValueError("adaptive_horizon must be >= 1")
         self.adaptive_horizon = adaptive_horizon
+        # Speculative decoding (serve/spec.py + verify_step_batched): each
+        # decode dispatch feeds the last token + spec_decode host-drafted
+        # tokens (n-gram prompt lookup over the slot's own history) and
+        # emits 1..spec_decode+1 tokens — GREEDY token-exact with plain
+        # decode by construction. Unlike the horizon banks (which amortize
+        # fetches but still run one model pass per token), accepted drafts
+        # cost a single pass for several tokens.
+        self.spec_decode = spec_decode
+        self.spec_ngram = spec_ngram
+        if spec_decode is not None:
+            if spec_decode < 1:
+                raise ValueError("spec_decode must be >= 1")
+            if mesh is not None:
+                raise ValueError("spec_decode with mesh serving is not supported yet")
+            if cache != "slotted":
+                raise ValueError("spec_decode requires the slotted cache")
+            if sampling_temperature(temperature) > 0.0 or top_k or top_p < 1.0:
+                raise ValueError(
+                    "spec_decode is greedy-only (draft acceptance checks the "
+                    "model's argmax; rejection sampling is not implemented)"
+                )
+            if decode_horizon != 1 or adaptive_horizon is not None:
+                raise ValueError("spec_decode replaces decode_horizon/adaptive_horizon")
+        self._spec_stats = {"steps": 0, "emitted": 0, "accepted": 0}
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
             if prefill_chunk % 128 != 0 or prefill_chunk <= 0:
@@ -322,6 +350,21 @@ class ServingEngine:
                 return functools.partial(_fn, horizon=h)
 
             self._horizon_fn = _host_horizon
+            if spec_decode is not None:
+                def _spec_step(params, caches, last_tok, draft, pos, active,
+                               _cfg=cfg):
+                    emitted, n_emit, caches = verify_step_batched(
+                        params, caches, last_tok, draft, pos, active, _cfg
+                    )
+                    n = emitted.shape[0]
+                    new_last = emitted[jnp.arange(n), n_emit - 1]
+                    new_last = jnp.where(active, new_last, last_tok)
+                    new_pos = pos + n_emit * active.astype(jnp.int32)
+                    # pack n_emit as a trailing column: ONE host fetch
+                    packed = jnp.concatenate([emitted, n_emit[:, None]], axis=1)
+                    return packed, caches, new_last, new_pos
+
+                self._spec_fn = jax.jit(_spec_step)
             self._prefill = jax.jit(
                 functools.partial(prefill_slot, cfg=cfg, temperature=temperature)
             )
@@ -389,6 +432,7 @@ class ServingEngine:
         n0 = self._tokens_generated
         self._ledger = {"dispatches": 0, "fetches": 0,
                         "dispatch_s": 0.0, "fetch_s": 0.0}
+        self._spec_stats = {"steps": 0, "emitted": 0, "accepted": 0}
         while self.step():
             pass
         dt = time.perf_counter() - t0
@@ -427,6 +471,14 @@ class ServingEngine:
             s["prefix_nodes"] = sum(st.n_nodes for st in self._prefix_stores)
             s["prefix_hit_pages"] = sum(st.hits for st in self._prefix_stores)
             s["prefix_miss_pages"] = sum(st.misses for st in self._prefix_stores)
+        if self.spec_decode is not None:
+            sp = dict(self._spec_stats)
+            # slot-steps = emitted - accepted (each slot-step emits exactly
+            # one non-draft bonus token); mean tokens banked per model pass
+            sp["tokens_per_pass"] = (
+                sp["emitted"] / max(1, sp["emitted"] - sp["accepted"])
+            )
+            s["spec"] = sp
         s["ledger"] = dict(self._ledger)
         return s
 
@@ -781,7 +833,52 @@ class ServingEngine:
         ceil_pow2 = 1 << (target - 1).bit_length()
         return min(ceil_pow2, cap)
 
+    def _do_spec_decode(self):
+        """One speculative decode dispatch: draft host-side by n-gram
+        lookup, verify + emit 1..spec_decode+1 tokens per slot on device.
+
+        Drafting needs each slot's CURRENT history, so this path flushes
+        pending fetches before dispatching (no dispatch-before-fetch
+        pipelining); the accepted drafts are what amortize the host
+        round-trip instead."""
+        self._flush_pending()
+        active = [i for i in range(self.n_slots) if self._slot_req[i] >= 0]
+        if not active:
+            return
+        k = self.spec_decode
+        drafts = np.zeros((self.n_slots, k), np.int32)
+        for s in active:
+            rid = self._slot_req[s]
+            prop = propose_lookup(
+                self._prompts[rid] + self._outputs[rid], k,
+                max_ngram=self.spec_ngram,
+            )
+            drafts[s, : len(prop)] = prop
+        t0 = time.perf_counter()
+        packed, self.caches, self.last_tok, self.pos = self._spec_fn(
+            self.params, self.caches, self.last_tok,
+            jnp.asarray(drafts), self.pos, self.active,
+        )
+        self._ledger["dispatches"] += 1
+        self._ledger["dispatch_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        arr = np.asarray(packed)  # [n_slots, k+2]: emitted tokens | n_emit
+        self._ledger["fetches"] += 1
+        self._ledger["fetch_s"] += time.perf_counter() - t0
+        self._spec_stats["steps"] += 1
+        for s in active:
+            rid = self._slot_req[s]
+            n_emit = int(arr[s, -1])
+            self._spec_stats["emitted"] += n_emit
+            self._spec_stats["accepted"] += n_emit - 1
+            for j in range(n_emit):
+                if self._slot_req[s] != rid:
+                    break  # finished (EOS/budget) mid-emission: surplus
+                self._record(s, int(arr[s, j]))
+
     def _do_decode(self):
+        if self.spec_decode is not None:
+            return self._do_spec_decode()
         active_before = [i for i in range(self.n_slots) if self._slot_req[i] >= 0]
         if active_before and self._pending_fetches:
             # if the PENDING fetches already satisfy every active slot's

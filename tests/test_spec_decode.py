@@ -1,0 +1,221 @@
+"""Speculative decoding: the staircase verify kernel, the verify step's
+greedy acceptance rule, the n-gram proposer, and engine token-exactness.
+
+No reference counterpart (the reference has no serving layer, SURVEY.md
+§1). The load-bearing property throughout: GREEDY spec decode is
+token-exact with plain greedy decode BY CONSTRUCTION — drafts only ever
+get accepted when they equal the model's own argmax — so every test
+compares against the plain path, not against golden values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantizedattention_tpu.models import (
+    TransformerConfig,
+    decode_step_batched,
+    init_transformer,
+    prefill_batched,
+    verify_step_batched,
+)
+from quantizedattention_tpu.parallel.kv_cache import (
+    append_kv,
+    decode_attention,
+    init_kv_cache,
+    verify_decode_attention,
+)
+from quantizedattention_tpu.serve import ServingEngine
+from quantizedattention_tpu.serve.spec import propose_lookup
+
+
+# -- proposer ----------------------------------------------------------------
+
+def test_propose_lookup_basic():
+    # trailing [7, 8] occurred earlier; continuation is [9, 1, 2]
+    hist = [7, 8, 9, 1, 2, 5, 7, 8]
+    assert propose_lookup(hist, 3) == [9, 1, 2]
+    # truncated to k
+    assert propose_lookup(hist, 2) == [9, 1]
+    # no match at any n-gram length -> []
+    assert propose_lookup([1, 2, 3, 4], 3) == []
+    # most recent match wins: the SECOND [4, 5] is followed by 6
+    hist = [4, 5, 9, 4, 5, 6, 0, 4, 5]
+    assert propose_lookup(hist, 1) == [6]
+    # periodic text extends itself (overlapping match)
+    assert propose_lookup([1, 2, 1, 2, 1, 2], 2) == [1, 2]
+    assert propose_lookup([], 3) == []
+
+
+# -- staircase verify kernel ---------------------------------------------------
+
+@pytest.mark.parametrize("n_heads,n_kv", [(4, 4), (4, 2), (8, 1)])
+def test_verify_attention_matches_per_position(n_heads, n_kv):
+    """verify_decode_attention row j == decode_attention with the cache
+    truncated to that row's causal bound — per slot, head layout, and
+    varied per-row lengths."""
+    b, s, d, max_len = 3, 4, 64, 256
+    key = jax.random.key(0)
+    cache = init_kv_cache(b, n_kv, max_len, d)
+    lengths = jnp.array([17, 50, 1], jnp.int32)
+    # fill each row to its length with random K/V, then append s more
+    kv = jax.random.normal(key, (2, b, n_kv, 64, d), jnp.float32)
+    cache = append_kv(cache, kv[0], kv[1])
+    cache = cache._replace(length=lengths)
+    kv2 = jax.random.normal(jax.random.key(1), (2, b, n_kv, s, d), jnp.float32)
+    cache = append_kv(cache, kv2[0], kv2[1])  # lengths now L_i + s
+
+    q = jax.random.normal(jax.random.key(2), (b, n_heads, s, d), jnp.float32)
+    got = verify_decode_attention(q, cache)
+    assert got.shape == (b, n_heads, s, d)
+    for j in range(s):
+        want = decode_attention(
+            q[:, :, j, :], cache._replace(length=lengths + j + 1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, j, :]), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+# -- verify step ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=128, n_heads=4, n_kv_heads=2, head_dim=32,
+        n_layers=2, max_seq=128, attention="bf16",
+    )
+    return init_transformer(jax.random.key(3), cfg), cfg
+
+
+def _plain_greedy(params, cfg, caches, last_tok, pos, active, n):
+    toks = []
+    for _ in range(n):
+        last_tok, caches = decode_step_batched(
+            params, caches, last_tok, pos, active, cfg
+        )
+        pos = pos + active.astype(jnp.int32)
+        toks.append(last_tok)
+    return jnp.stack(toks, 1), caches, last_tok, pos  # [b, n]
+
+
+def test_verify_step_accepts_true_continuation(lm):
+    """Feeding the model's own greedy continuation as the draft accepts
+    everything: n_emit = s, and emitted == the plain greedy stream."""
+    params, cfg = lm
+    b, s = 2, 4
+    prompt = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]] * b, jnp.int32)
+    caches = [init_kv_cache(b, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+              for _ in params["layers"]]
+    first, caches = prefill_batched(params, caches, prompt, cfg)
+    pos = jnp.full((b,), prompt.shape[1], jnp.int32)
+    active = jnp.ones((b,), bool)
+
+    stream, _, _, _ = _plain_greedy(params, cfg, caches, first, pos, active, s)
+    draft = stream[:, : s - 1]  # the true continuation after `first`
+    emitted, n_emit, vcaches = verify_step_batched(
+        params, caches, first, draft, pos, active, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(n_emit), s)
+    np.testing.assert_array_equal(np.asarray(emitted), np.asarray(stream))
+    # cache lengths advanced by the full s (nothing rolled back)
+    np.testing.assert_array_equal(
+        np.asarray(vcaches[0].length), np.asarray(pos + s)
+    )
+
+
+def test_verify_step_rejects_garbage_draft(lm):
+    """A garbage draft emits exactly 1 token — the same token plain decode
+    produces — and rolls the cache back to one appended entry."""
+    params, cfg = lm
+    b, s = 2, 4
+    prompt = jnp.array([[9, 8, 7, 6], [3, 3, 3, 3]], jnp.int32)
+    caches = [init_kv_cache(b, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+              for _ in params["layers"]]
+    first, caches = prefill_batched(params, caches, prompt, cfg)
+    pos = jnp.full((b,), prompt.shape[1], jnp.int32)
+    active = jnp.ones((b,), bool)
+
+    plain_tok, _ = decode_step_batched(params, caches, first, pos, active, cfg)
+    # draft tokens the greedy model will NOT pick (shift the plain token)
+    draft = jnp.broadcast_to(
+        ((plain_tok + 7) % cfg.vocab_size)[:, None], (b, s - 1)
+    ).astype(jnp.int32)
+    emitted, n_emit, vcaches = verify_step_batched(
+        params, caches, first, draft, pos, active, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(n_emit), 1)
+    np.testing.assert_array_equal(np.asarray(emitted[:, 0]), np.asarray(plain_tok))
+    np.testing.assert_array_equal(
+        np.asarray(vcaches[0].length), np.asarray(pos + 1)
+    )
+
+
+def test_verify_step_inactive_rows_hold(lm):
+    """Inactive slots never advance cache length or produce recordable
+    state changes."""
+    params, cfg = lm
+    b, s = 2, 3
+    prompt = jnp.array([[1, 2, 3, 4]] * b, jnp.int32)
+    caches = [init_kv_cache(b, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+              for _ in params["layers"]]
+    first, caches = prefill_batched(params, caches, prompt, cfg)
+    pos = jnp.full((b,), prompt.shape[1], jnp.int32)
+    active = jnp.array([True, False])
+    draft = jnp.zeros((b, s - 1), jnp.int32)
+    _, _, vcaches = verify_step_batched(
+        params, caches, first, draft, pos, active, cfg
+    )
+    lens = np.asarray(vcaches[0].length)
+    assert lens[1] == prompt.shape[1]  # inactive: unchanged
+    assert lens[0] >= prompt.shape[1] + 1
+
+
+# -- engine end-to-end -----------------------------------------------------------
+
+def _run_engine(params, cfg, prompts, budget=24, **kw):
+    eng = ServingEngine(params, cfg, n_slots=2, scheduler="python", **kw)
+    rids = [eng.submit(p, budget) for p in prompts]
+    res = eng.run()
+    return [res[r].tokens for r in rids], eng
+
+
+def test_engine_spec_token_exact(lm):
+    """spec_decode engines produce byte-identical streams to the plain
+    engine — with n-gram-friendly (periodic) AND unfriendly prompts — and
+    the periodic prompt actually banks accepted drafts."""
+    params, cfg = lm
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6], [12, 33, 2, 47]]
+    plain, _ = _run_engine(params, cfg, prompts)
+    spec, eng = _run_engine(params, cfg, prompts, spec_decode=3)
+    assert spec == plain
+    st = eng.stats()["spec"]
+    # recorded tokens = 1 prefill token per request + spec emissions
+    # (st["emitted"] may exceed the recorded count by budget-surplus tokens
+    # discarded at record time)
+    assert st["emitted"] >= sum(len(t) for t in spec) - len(spec)
+    # the periodic prompt must actually bank accepted drafts
+    assert st["accepted"] > 0 and st["tokens_per_pass"] > 1.0
+
+
+def test_engine_spec_eos_and_validation(lm):
+    params, cfg = lm
+    # EOS: pick the first generated token of a plain run as eos_id -> the
+    # spec engine must stop at the same place
+    prompts = [[4, 4, 5, 4, 4, 5, 4, 4]]
+    plain, _ = _run_engine(params, cfg, prompts, budget=16)
+    eos = plain[0][5]
+    plain_eos, _ = _run_engine(params, cfg, prompts, budget=16, eos_id=eos)
+    spec_eos, _ = _run_engine(params, cfg, prompts, budget=16, eos_id=eos,
+                              spec_decode=4)
+    assert spec_eos == plain_eos
+
+    with pytest.raises(ValueError, match="slotted"):
+        ServingEngine(params, cfg, cache="paged", n_pages=8, spec_decode=2)
+    with pytest.raises(ValueError, match="greedy"):
+        ServingEngine(params, cfg, temperature=0.7, spec_decode=2)
+    with pytest.raises(ValueError, match="horizon"):
+        ServingEngine(params, cfg, decode_horizon=4, spec_decode=2)
+    with pytest.raises(ValueError, match="spec_decode"):
+        ServingEngine(params, cfg, spec_decode=0)
