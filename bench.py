@@ -373,14 +373,20 @@ def bench_jvp(B=4, H=16, T=4096, D=64):
     return t_fast
 
 
-def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None):
+def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
+                 kv_quant=None):
     """Serving decode step tokens/s at full context (stderr detail).
 
     weight_quant: None (bf16 weights), "pallas" (int8 weights through the
     in-VMEM-dequant kernel, ops/int8_linear.py), "xla" (int8 weights
     dequantized by XLA), or "int4" (packed nibbles + group scales through
     ops/int4_linear.py) — decode is weight-HBM-bound, so int8 weights
-    bound the next 2x after the measured bf16 1.5x, int4 the 2x after."""
+    bound the next 2x after the measured bf16 1.5x, int4 the 2x after.
+
+    kv_quant: None (the default int8 KV cache) / "int4" (packed-nibble
+    cache, parallel/kv4_cache.py) / "int8-aligned" (the int8 cache at the
+    int4 arm's 256-aligned max_seq — the fair A/B base, since pack blocks
+    force a slightly different cache geometry)."""
     from quantizedattention_tpu.models import (
         TransformerConfig, decode_step_batched, init_transformer, prefill_batched,
     )
@@ -391,8 +397,10 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None):
     # embed/unembed tables into the program as constants)
     cfg = TransformerConfig(
         vocab_size=8192, d_model=1024, n_heads=16, n_kv_heads=16, head_dim=64,
-        n_layers=n_layers, max_seq=ctx + 128, attention="bf16",
+        n_layers=n_layers, max_seq=ctx + (256 if kv_quant else 128),
+        attention="bf16",
     )
+    from quantizedattention_tpu.parallel.kv4_cache import init_kv4_cache
     from quantizedattention_tpu.parallel.kv_cache import init_kv_cache
 
     params = init_transformer(jax.random.key(0), cfg)
@@ -405,7 +413,8 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None):
             params = quantize_lm_weights(params, bits=4)
         else:
             params = quantize_lm_weights(params, via=weight_quant)
-    caches = [init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+    mk = init_kv4_cache if kv_quant == "int4" else init_kv_cache
+    caches = [mk(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
               for _ in params["layers"]]
     prompt = jax.random.randint(jax.random.key(2), (n_slots, ctx), 0, cfg.vocab_size)
     tok, caches = jax.jit(prefill_batched, static_argnames="cfg")(params, caches, prompt, cfg)
@@ -435,6 +444,8 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None):
     per_step = times[len(times) // 2] / n
     blk = resolve_decode_block(cfg.max_seq, cfg.head_dim)
     wq = f", int8 weights ({weight_quant})" if weight_quant else ""
+    if kv_quant:
+        wq += f", kv cache {kv_quant} (max_seq {cfg.max_seq})"
     log(f"--- serving decode: {n_slots} slots, ctx {ctx}, "
         f"{n_layers}L/1024d model{wq} ---")
     log(f"decode step: {per_step*1e3:7.3f} ms  ->  {n_slots/per_step:,.0f} tokens/s"
@@ -656,6 +667,11 @@ def main():
     w8 = _section("decode-4L-w8", bench_decode, weight_quant="pallas")
     w8x = _section("decode-4L-w8-xla", bench_decode, weight_quant="xla")
     w4 = _section("decode-4L-w4", bench_decode, weight_quant="int4")
+    # int4 KV cache A/B (same 256-aligned cache geometry for both arms)
+    kv4 = _section("decode-4L-kv4", bench_decode, kv_quant="int4")
+    kv8a = _section("decode-4L-kv8-aligned", bench_decode, kv_quant="int8-aligned")
+    if kv4 and kv8a:
+        log(f"int4-KV decode speedup vs int8 (aligned): {kv8a/kv4:.2f}x")
     if per_step_4 and w8:
         log(f"int8-weight decode speedup: pallas {per_step_4/w8:.2f}x"
             + (f", xla {per_step_4/w8x:.2f}x" if w8x else "")

@@ -24,6 +24,14 @@ from quantizedattention_tpu.parallel.kv_cache import (
     verify_decode_attention,
     write_kv_slot,
 )
+from quantizedattention_tpu.parallel.kv4_cache import (
+    Int4KVCache,
+    append_kv4,
+    decode_attention_int4,
+    init_kv4_cache,
+    verify_decode_attention_int4,
+    write_kv4_slot,
+)
 from quantizedattention_tpu.parallel.paged_cache import (
     PagedKVCache,
     append_token_paged,
@@ -187,6 +195,34 @@ def _mlp_residual(layer, x):
     return x + mm(jax.nn.gelu(mm(h, layer["w1"])), layer["w2"])
 
 
+# -- cache-kind dispatch (int8 QuantizedKVCache | int4 Int4KVCache) -----------
+# isinstance branches resolve at trace time: each cache kind compiles its own
+# step, and the int8 paths are byte-identical to before the int4 cache existed.
+
+def _cache_append(cache, k, v, active=None):
+    if isinstance(cache, Int4KVCache):
+        return append_kv4(cache, k, v, active=active)
+    return append_kv(cache, k, v, active=active)
+
+
+def _cache_decode(q, cache):
+    if isinstance(cache, Int4KVCache):
+        return decode_attention_int4(q, cache)
+    return decode_attention(q, cache)
+
+
+def _cache_write_slot(cache, slot, k, v, true_len):
+    if isinstance(cache, Int4KVCache):
+        return write_kv4_slot(cache, slot, k, v, true_len)
+    return write_kv_slot(cache, slot, k, v, true_len)
+
+
+def _cache_verify(q, cache):
+    if isinstance(cache, Int4KVCache):
+        return verify_decode_attention_int4(q, cache)
+    return verify_decode_attention(q, cache)
+
+
 @dataclasses.dataclass(frozen=True)
 class Sampling:
     """Static sampling spec: temperature scaling plus top-k / nucleus
@@ -281,8 +317,8 @@ def decode_step_batched(
             cache = append_token_paged(cache, k, v, active)
             o = paged_decode_attention(q[:, :, 0, :], cache)
         else:
-            cache = append_kv(cache, k, v, active=active)
-            o = decode_attention(q[:, :, 0, :], cache)  # GQA-native
+            cache = _cache_append(cache, k, v, active=active)
+            o = _cache_decode(q[:, :, 0, :], cache)  # GQA-native
         o = o.reshape(x.shape[0], 1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
@@ -321,8 +357,8 @@ def verify_step_batched(
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
-        cache = append_kv(cache, k, v, active=active)
-        o = verify_decode_attention(q, cache)  # [n, H, s, d], causal staircase
+        cache = _cache_append(cache, k, v, active=active)
+        o = _cache_verify(q, cache)  # [n, H, s, d], causal staircase
         o = o.transpose(0, 2, 1, 3).reshape(n_slots, s, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
@@ -405,7 +441,7 @@ def prefill_slot(
             # engine buckets prompts accordingly); the slot is the seq id
             cache = write_prompt_paged(cache, slot, k[0], v[0], true_len)
         else:
-            cache = write_kv_slot(cache, slot, k[0], v[0], true_len)
+            cache = _cache_write_slot(cache, slot, k[0], v[0], true_len)
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(1, -1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
@@ -521,7 +557,7 @@ def prefill_slots(
             if isinstance(cache, PagedKVCache):
                 cache = write_prompt_paged(cache, slots[i], k[i], v[i], true_lens[i])
             else:
-                cache = write_kv_slot(cache, slots[i], k[i], v[i], true_lens[i])
+                cache = _cache_write_slot(cache, slots[i], k[i], v[i], true_lens[i])
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(B, -1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
@@ -545,7 +581,7 @@ def prefill_batched(
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
-        cache = append_kv(cache, k, v)
+        cache = _cache_append(cache, k, v)
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))

@@ -41,6 +41,15 @@ from quantizedattention_tpu.parallel.paged_cache import (
     append_token_paged,
     paged_decode_attention,
 )
+from quantizedattention_tpu.parallel.kv4_cache import (
+    Int4KVCache,
+    append_kv4,
+    decode_attention_int4,
+    dequantize_kv4,
+    init_kv4_cache,
+    verify_decode_attention_int4,
+    write_kv4_slot,
+)
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
     init_kv_cache,
@@ -77,6 +86,13 @@ __all__ = [
     "append_kv",
     "write_kv_slot",
     "decode_attention",
+    "Int4KVCache",
+    "append_kv4",
+    "decode_attention_int4",
+    "dequantize_kv4",
+    "init_kv4_cache",
+    "verify_decode_attention_int4",
+    "write_kv4_slot",
     "verify_decode_attention",
     "context_sharded_decode",
     "shard_cache_context",

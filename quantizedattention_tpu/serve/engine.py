@@ -122,6 +122,7 @@ class ServingEngine:
         prefix_cache: bool = False,
         spec_decode: int | None = None,
         spec_ngram: int = 3,
+        kv_quant: str | None = None,
     ):
         if param_dtype is not None:
             # serving needs no f32 master weights; bf16 halves weight HBM
@@ -189,6 +190,8 @@ class ServingEngine:
             if decode_horizon != 1 or adaptive_horizon is not None:
                 raise ValueError("spec_decode replaces decode_horizon/adaptive_horizon")
         self._spec_stats = {"steps": 0, "emitted": 0, "accepted": 0}
+        if kv_quant is not None and cache != "slotted":
+            raise ValueError("kv_quant requires the slotted cache")
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
             if prefill_chunk % 128 != 0 or prefill_chunk <= 0:
@@ -291,10 +294,32 @@ class ServingEngine:
                 for _ in params["layers"]
             ]
         elif cache == "slotted":
-            caches = [
-                init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
-                for _ in params["layers"]
-            ]
+            # kv_quant="int4" swaps the slotted int8 cache for the packed
+            # int4 cache (parallel/kv4_cache.py): half the KV HBM stream at
+            # decode, absmax/7 per-token scales. Every slotted path — fused
+            # + batched prefill, decode, horizon banks, spec verify —
+            # dispatches by cache type (models/transformer.py _cache_*).
+            if kv_quant not in (None, "int4"):
+                raise ValueError("kv_quant must be 'int4' or None")
+            if kv_quant == "int4":
+                if mesh is not None:
+                    raise ValueError("kv_quant with mesh serving is not supported yet")
+                if prefill_chunk is not None:
+                    raise ValueError(
+                        "kv_quant='int4' does not support prefill_chunk yet "
+                        "(chunked prefill reads the cache through the int8 path)"
+                    )
+                from quantizedattention_tpu.parallel.kv4_cache import init_kv4_cache
+
+                caches = [
+                    init_kv4_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+                    for _ in params["layers"]
+                ]
+            else:
+                caches = [
+                    init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+                    for _ in params["layers"]
+                ]
         else:
             raise ValueError(f"unknown cache kind {cache!r}")
         last_tok = jnp.zeros((n_slots,), jnp.int32)
