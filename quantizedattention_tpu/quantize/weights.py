@@ -174,6 +174,39 @@ def quantize_lm_weights(
     return out
 
 
+def quantize_lm_specs(specs: dict, include_embed: bool = True) -> dict:
+    """PartitionSpec-tree twin of `quantize_lm_weights(bits=8)`: each
+    quantized leaf becomes a QuantizedWeight node whose w_i8 carries the
+    original weight spec and whose scale carries the OUTPUT-axis component
+    (the per-output-channel scale [n] shards with the columns it scales;
+    contraction-sharded weights keep a replicated scale, applied after the
+    local dot — scale multiplication commutes with the psum).
+
+    Use to place or shard_map a quantized param tree: the node's aux data
+    (axis, via) matches quantize_lm_weights' output, so tree structures
+    line up for jax.device_put / shard_map in_specs. int8 only — int4's
+    split-half packing is not shardable along the contraction axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def q(spec):
+        out_axis = spec[1] if len(spec) > 1 else None
+        return QuantizedWeight(w_i8=spec, scale=P(out_axis), axis=1)
+
+    out = dict(specs)
+    out["layers"] = [
+        {key: (q(leaf) if key in _LINEAR_KEYS else leaf)
+         for key, leaf in layer.items()}
+        for layer in specs["layers"]
+    ]
+    out["unembed"] = q(specs["unembed"])
+    if include_embed:
+        e = specs["embed"]
+        row_axis = e[0] if len(e) > 0 else None
+        out["embed"] = QuantizedWeight(w_i8=e, scale=P(row_axis), axis=0)
+    return out
+
+
 def mm(x: jnp.ndarray, w: Any, via: str | None = None) -> jnp.ndarray:
     """`x @ w` where w is a plain array, a QuantizedWeight (int8, axis=1),
     or a QuantizedWeight4 (packed int4 + group scales).

@@ -52,6 +52,7 @@ from quantizedattention_tpu.models.transformer import (
     sampling_temperature,
     verify_step_batched,
 )
+from quantizedattention_tpu.quantize.weights import embedding_lookup, mm
 from quantizedattention_tpu.serve.spec import propose_lookup
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
@@ -142,14 +143,16 @@ class ServingEngine:
             # them).
             if weight_quant not in ("int8", "int4"):
                 raise ValueError("weight_quant must be 'int8', 'int4', or None")
-            if mesh is not None:
+            if mesh is not None and weight_quant == "int4":
                 raise ValueError(
-                    "weight_quant with mesh serving is not supported yet "
-                    "(param_specs has no QuantizedWeight layout)"
+                    "weight_quant='int4' with mesh serving is not supported "
+                    "(split-half nibble packing is not shardable along the "
+                    "contraction axis; use 'int8')"
                 )
             from quantizedattention_tpu.quantize.weights import quantize_lm_weights
 
             params = quantize_lm_weights(params, bits=4 if weight_quant == "int4" else 8)
+        self.weight_quant = weight_quant
         self.cfg = cfg
         self.n_slots = n_slots
         self.eos_id = eos_id
@@ -334,31 +337,37 @@ class ServingEngine:
             if n_slots % mesh.shape["data"] != 0:
                 raise ValueError("n_slots must divide the data axis")
             self._slots_per_shard = n_slots // int(mesh.shape["data"])
-            pshard, cshard, vshard = serving_shardings(mesh, cfg, cache)
+            pshard, cshard, vshard = serving_shardings(
+                mesh, cfg, cache, weight_quant=weight_quant)
             params = jax.device_put(params, pshard)
             caches = jax.device_put(caches, cshard)
             last_tok = jax.device_put(last_tok, vshard)
             pos = jax.device_put(pos, vshard)
             active = jax.device_put(active, vshard)
             self._decode = make_sharded_decode_step(
-                mesh, cfg, temperature=temperature, cache=cache
+                mesh, cfg, temperature=temperature, cache=cache,
+                weight_quant=weight_quant,
             )
             self._horizon_fns = {}
 
-            def _mesh_horizon(h, _mesh=mesh, _cfg=cfg, _t=temperature, _c=cache):
+            def _mesh_horizon(h, _mesh=mesh, _cfg=cfg, _t=temperature, _c=cache,
+                              _w=weight_quant):
                 if h not in self._horizon_fns:
                     self._horizon_fns[h] = make_sharded_decode_step(
                         _mesh, _cfg, temperature=_t, cache=_c, horizon=h,
+                        weight_quant=_w,
                     )
                 return self._horizon_fns[h]
 
             self._horizon_fn = _mesh_horizon
             self._prefill = make_sharded_prefill_slot(
-                mesh, cfg, cache=cache, temperature=temperature
+                mesh, cfg, cache=cache, temperature=temperature,
+                weight_quant=weight_quant,
             )
             if prefill_chunk is not None:
                 self._prefill_chunk_fn = make_sharded_prefill_chunk(
-                    mesh, cfg, cache=cache, temperature=temperature
+                    mesh, cfg, cache=cache, temperature=temperature,
+                    weight_quant=weight_quant,
                 )
         else:
             self._decode = jax.jit(
@@ -983,14 +992,14 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, key,
     kv_loc = cfg.n_kv_heads // n_model
     b_loc = last_tok.shape[0]
 
-    x = params["embed"][last_tok][:, None, :]
+    x = embedding_lookup(params["embed"], last_tok)[:, None, :]
     positions = pos[:, None]
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
-        q = (h @ layer["wq"]).reshape(b_loc, 1, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-        k = (h @ layer["wk"]).reshape(b_loc, 1, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-        v = (h @ layer["wv"]).reshape(b_loc, 1, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = mm(h, layer["wq"]).reshape(b_loc, 1, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = mm(h, layer["wk"]).reshape(b_loc, 1, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = mm(h, layer["wv"]).reshape(b_loc, 1, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
         q = rope(q, positions, cfg.rope_base)
         k = rope(k, positions, cfg.rope_base)
         if isinstance(cache, PagedKVCache):
@@ -1000,12 +1009,12 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, key,
             cache = append_kv(cache, k, v, active=active)
             o = decode_attention(q[:, :, 0, :], cache)
         o = o.reshape(b_loc, 1, h_loc * cfg.head_dim)
-        x = x + jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
+        x = x + jax.lax.psum(mm(o.astype(x.dtype), layer["wo"]), "model")
         hh = rmsnorm(x, layer["ln2"])
-        x = x + jax.lax.psum(jax.nn.gelu(hh @ layer["w1"]) @ layer["w2"], "model")
+        x = x + jax.lax.psum(mm(jax.nn.gelu(mm(hh, layer["w1"])), layer["w2"]), "model")
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
-    logits = x[:, 0] @ params["unembed"]
+    logits = mm(x[:, 0], params["unembed"])
     if sampling_temperature(temperature) == 0.0 or key is None:
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     else:
@@ -1054,9 +1063,18 @@ def _layer_cache_specs(cfg: TransformerConfig, cache: str):
     return [one for _ in range(cfg.n_layers)]
 
 
+def _maybe_quantized_specs(specs, weight_quant):
+    if weight_quant is None:
+        return specs
+    from quantizedattention_tpu.quantize.weights import quantize_lm_specs
+
+    return quantize_lm_specs(specs)
+
+
 def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
                              temperature: float = 0.0, cache: str = "slotted",
-                             horizon: int = 1):
+                             horizon: int = 1,
+                             weight_quant: str | None = None):
     """Jitted multi-chip decode step: (params, caches, last_tok, pos, active,
     key=None) -> (next_tok, caches) — or, with horizon > 1, (bank [horizon,
     n_slots], caches, last_tok, pos) with the same banked-token contract as
@@ -1072,7 +1090,7 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
     if cfg.n_kv_heads % mesh.shape["model"] != 0:
         raise ValueError("n_kv_heads must divide the model axis")
 
-    specs = param_specs(cfg)
+    specs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
     vec = P("data")
     cspecs = _layer_cache_specs(cfg, cache)
 
@@ -1129,7 +1147,8 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
 
 
 def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
-                              cache: str = "slotted", temperature: float = 0.0):
+                              cache: str = "slotted", temperature: float = 0.0,
+                              weight_quant: str | None = None):
     """Multi-chip fused prefill of one request into cache row `slot`.
 
     Runs as ONE shard_map (no GSPMD gathers): every chip computes the
@@ -1146,7 +1165,7 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
         write_prompt_paged,
     )
 
-    specs = param_specs(cfg)
+    specs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
     cspecs = _layer_cache_specs(cfg, cache)
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
@@ -1169,13 +1188,13 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
 
         t_pad = tokens.shape[0]
         positions = jnp.arange(t_pad)
-        x = params["embed"][tokens][None]
+        x = embedding_lookup(params["embed"], tokens)[None]
         new_caches = []
         for layer, cache_l in zip(params["layers"], caches):
             h = rmsnorm(x, layer["ln1"])
-            q = (h @ layer["wq"]).reshape(1, t_pad, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-            k = (h @ layer["wk"]).reshape(1, t_pad, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-            v = (h @ layer["wv"]).reshape(1, t_pad, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+            q = mm(h, layer["wq"]).reshape(1, t_pad, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+            k = mm(h, layer["wk"]).reshape(1, t_pad, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+            v = mm(h, layer["wv"]).reshape(1, t_pad, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
             q = rope(q, positions, cfg.rope_base)
             k = rope(k, positions, cfg.rope_base)
 
@@ -1190,12 +1209,12 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
             )
             o = _attention(q, k, v, cfg)  # GQA repeat ratio is shard-invariant
             o = o.transpose(0, 2, 1, 3).reshape(1, t_pad, h_loc * cfg.head_dim)
-            x = x + jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
+            x = x + jax.lax.psum(mm(o.astype(x.dtype), layer["wo"]), "model")
             hh = rmsnorm(x, layer["ln2"])
-            x = x + jax.lax.psum(jax.nn.gelu(hh @ layer["w1"]) @ layer["w2"], "model")
+            x = x + jax.lax.psum(mm(jax.nn.gelu(mm(hh, layer["w1"])), layer["w2"]), "model")
             new_caches.append(cache_l)
         x = rmsnorm(x, params["final_norm"])
-        logits = x[0, true_len - 1] @ params["unembed"]
+        logits = mm(x[0, true_len - 1], params["unembed"])
         k_s = None if sampling_temperature(temperature) == 0.0 else key
         return sample_token(logits, temperature, k_s), new_caches
 
@@ -1211,7 +1230,8 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
 
 def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                                cache: str = "slotted",
-                               temperature: float = 0.0):
+                               temperature: float = 0.0,
+                               weight_quant: str | None = None):
     """Multi-chip CHUNKED prefill (the mesh counterpart of
     models.transformer.prefill_chunk, same keyword signature).
 
@@ -1232,7 +1252,7 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
     )
     from quantizedattention_tpu.parallel.ring import _merge_partials
 
-    specs = param_specs(cfg)
+    specs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
     cspecs = _layer_cache_specs(cfg, cache)
     n_model = mesh.shape["model"]
     h_loc = cfg.n_heads // n_model
@@ -1255,14 +1275,14 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
 
             c = tokens.shape[0]
             positions = chunk_start + jnp.arange(c)
-            x = params["embed"][tokens][None]
+            x = embedding_lookup(params["embed"], tokens)[None]
             new_caches = []
             for layer, cache_l in zip(params["layers"], caches):
                 paged = isinstance(cache_l, PagedKVCache)
                 h = rmsnorm(x, layer["ln1"])
-                q = (h @ layer["wq"]).reshape(1, c, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-                k = (h @ layer["wk"]).reshape(1, c, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
-                v = (h @ layer["wv"]).reshape(1, c, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+                q = mm(h, layer["wq"]).reshape(1, c, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+                k = mm(h, layer["wk"]).reshape(1, c, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+                v = mm(h, layer["wv"]).reshape(1, c, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
                 q = rope(q, positions, cfg.rope_base)
                 k = rope(k, positions, cfg.rope_base)
 
@@ -1304,14 +1324,14 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                         jnp.where(own, o, jnp.zeros_like(o)), "data"
                     )
                 o = o.transpose(0, 2, 1, 3).reshape(1, c, h_loc * cfg.head_dim)
-                x = x + jax.lax.psum(o.astype(x.dtype) @ layer["wo"], "model")
+                x = x + jax.lax.psum(mm(o.astype(x.dtype), layer["wo"]), "model")
                 hh = rmsnorm(x, layer["ln2"])
-                x = x + jax.lax.psum(jax.nn.gelu(hh @ layer["w1"]) @ layer["w2"], "model")
+                x = x + jax.lax.psum(mm(jax.nn.gelu(mm(hh, layer["w1"])), layer["w2"]), "model")
                 new_caches.append(cache_l)
             if not last:
                 return jnp.zeros((), jnp.int32), new_caches
             x = rmsnorm(x, params["final_norm"])
-            logits = x[0, true_end - 1 - chunk_start] @ params["unembed"]
+            logits = mm(x[0, true_end - 1 - chunk_start], params["unembed"])
             k_s = None if sampling_temperature(temperature) == 0.0 else key
             return sample_token(logits, temperature, k_s), new_caches
 
@@ -1332,13 +1352,18 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
     return prefill
 
 
-def serving_shardings(mesh: Mesh, cfg: TransformerConfig, cache: str = "slotted"):
+def serving_shardings(mesh: Mesh, cfg: TransformerConfig, cache: str = "slotted",
+                      weight_quant: str | None = None):
     """(param_shardings, cache_shardings, vector_sharding) NamedSharding trees
-    for placing engine state before calling the sharded decode step."""
+    for placing engine state before calling the sharded decode step.
+    weight_quant="int8": the param tree holds QuantizedWeight leaves
+    (quantize_lm_weights), so the spec tree is its QuantizedWeight twin
+    (quantize/weights.py:quantize_lm_specs)."""
     from quantizedattention_tpu.models.sharded_train import param_specs
 
     to_shard = lambda spec: NamedSharding(mesh, spec)
-    pshard = jax.tree_util.tree_map(to_shard, param_specs(cfg))
+    pspecs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
+    pshard = jax.tree_util.tree_map(to_shard, pspecs)
     one = paged_cache_specs() if cache == "paged" else cache_specs()
     cshard = [
         jax.tree_util.tree_map(to_shard, one) for _ in range(cfg.n_layers)

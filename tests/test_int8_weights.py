@@ -247,7 +247,31 @@ def test_engine_weight_quant(lm):
 
     with pytest.raises(ValueError, match="weight_quant"):
         ServingEngine(params, cfg, weight_quant="fp4")
-    if len(jax.devices()) >= 4:
-        mesh = jax.make_mesh((2, 2), ("data", "model"))
-        with pytest.raises(ValueError, match="mesh"):
-            ServingEngine(params, cfg, mesh=mesh, weight_quant="int8")
+
+
+def test_engine_weight_quant_mesh(lm):
+    """Mesh serving with int8 weights: the sharded engine (QuantizedWeight
+    leaves sharded by quantize_lm_specs — w_i8 on the weight's own spec,
+    scale on its output axis) produces the same greedy tokens as the local
+    int8-weights engine; int4 under a mesh rejects (packing not shardable
+    along the contraction)."""
+    from quantizedattention_tpu.parallel import make_attention_mesh
+    from quantizedattention_tpu.serve import ServingEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    params, cfg = lm
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+    prompts = [[1, 2, 3, 4, 5], [7, 6, 5], [2, 2], [9]]
+
+    def run(**kw):
+        eng = ServingEngine(params, cfg, n_slots=4, scheduler="python",
+                            weight_quant="int8", **kw)
+        rids = [eng.submit(x, 6) for x in prompts]
+        res = eng.run()
+        return [res[r].tokens for r in rids]
+
+    assert run(mesh=mesh) == run()
+
+    with pytest.raises(ValueError, match="int4"):
+        ServingEngine(params, cfg, mesh=mesh, weight_quant="int4")
