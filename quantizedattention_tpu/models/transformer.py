@@ -35,6 +35,7 @@ from quantizedattention_tpu.parallel.kv4_cache import (
 from quantizedattention_tpu.parallel.paged_cache import (
     PagedKVCache,
     append_token_paged,
+    append_tokens_paged,
     paged_decode_attention,
     write_prompt_paged,
 )
@@ -200,6 +201,9 @@ def _mlp_residual(layer, x):
 # step, and the int8 paths are byte-identical to before the int4 cache existed.
 
 def _cache_append(cache, k, v, active=None):
+    if isinstance(cache, PagedKVCache):
+        act = jnp.ones((k.shape[0],), bool) if active is None else active
+        return append_tokens_paged(cache, k, v, act)
     if isinstance(cache, Int4KVCache):
         return append_kv4(cache, k, v, active=active)
     return append_kv(cache, k, v, active=active)
@@ -218,9 +222,21 @@ def _cache_write_slot(cache, slot, k, v, true_len):
 
 
 def _cache_verify(q, cache):
+    if isinstance(cache, PagedKVCache):
+        from quantizedattention_tpu.parallel.paged_cache import paged_verify_attention
+
+        return paged_verify_attention(q, cache)
     if isinstance(cache, Int4KVCache):
         return verify_decode_attention_int4(q, cache)
     return verify_decode_attention(q, cache)
+
+
+def _cache_rollback(cache, drop):
+    """Shrink live token counts by `drop` [b] (speculative rejection —
+    later appends overwrite the stale entries in place)."""
+    if isinstance(cache, PagedKVCache):
+        return cache._replace(lengths=cache.lengths - drop)
+    return cache._replace(length=cache.length - drop)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -377,7 +393,7 @@ def verify_step_batched(
     drop = s - 1 - n_acc
     if active is not None:
         drop = drop * active.astype(jnp.int32)
-    new_caches = [c._replace(length=c.length - drop) for c in new_caches]
+    new_caches = [_cache_rollback(c, drop) for c in new_caches]
     return emitted, n_acc + 1, new_caches
 
 

@@ -189,39 +189,63 @@ def append_token_paged(
     """Batched single-token append: k_new/v_new [n_seqs, h, 1, d]; rows with
     active=False neither write nor advance. The page for position `len` must
     already be assigned (host allocator extends tables ahead of the write)."""
+    return append_tokens_paged(cache, k_new, v_new, active)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def append_tokens_paged(
+    cache: PagedKVCache,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    active: jnp.ndarray,
+) -> PagedKVCache:
+    """Batched multi-token append (the speculative-verify path): k_new/v_new
+    [n_seqs, h, t, d] land at positions lengths..lengths+t-1 per row —
+    token runs may span a page boundary (per-token page/offset lookup).
+    Rows with active=False neither write nor advance.
+
+    Positions whose page-table slot is unassigned (id 0) scatter onto the
+    reserved garbage page 0 — by design: a verify step may transiently
+    write up to t-1 tokens past a row's allocated budget; every q row that
+    could READ those positions is itself beyond the budget, so its emitted
+    token is discarded host-side (see ServingEngine spec_decode + paged).
+    """
     ps = cache.page_size
-    k_i8, sk = _row_quant(k_new.astype(jnp.float32))  # [s, h, 1, d] / [s, h, 1]
+    t = k_new.shape[2]
+    k_i8, sk = _row_quant(k_new.astype(jnp.float32))  # [s, h, t, d] / [s, h, t]
     v_i8, sv = _row_quant(v_new.astype(jnp.float32))
 
-    page_idx = cache.lengths // ps                     # [s]
-    offset = cache.lengths % ps                        # [s]
+    positions = cache.lengths[:, None] + jnp.arange(t)[None]  # [s, t]
+    page_idx = positions // ps
+    offset = positions % ps
     max_pages = cache.page_table.shape[1]
     pages = jnp.take_along_axis(
-        cache.page_table, jnp.minimum(page_idx, max_pages - 1)[:, None], axis=1
-    )[:, 0]
+        cache.page_table, jnp.minimum(page_idx, max_pages - 1), axis=1
+    )  # [s, t]
     # rows that must not write: inactive (stale table may point at a page
     # since re-allocated to a live sequence) or at full table capacity
     # (take_along_axis would otherwise clip onto the LAST page and corrupt
     # it). Route both out of range and drop the scatter; neither advances.
-    ok = active & (page_idx < max_pages)
+    ok = active[:, None] & (page_idx < max_pages)  # [s, t]
     n_pages = cache.n_pages
     pages = jnp.where(ok, pages, n_pages)
 
     def scatter_kv(buf, val):
-        # buf [h, n_pages, ps, d]; val [s, h, 1, d]
-        v = jnp.moveaxis(val, 0, 1)[:, :, 0]  # [h, s, d]
+        # buf [h, n_pages, ps, d]; val [s, h, t, d]
+        v = jnp.moveaxis(val, 0, 1)  # [h, s, t, d]
         return buf.at[:, pages, offset].set(v, mode="drop")
 
     def scatter_scale(buf, val):
-        # buf [n_pages, h, ps]; val [s, h, 1] -> advanced idx puts [s, h] first
-        return buf.at[pages, :, offset].set(val[:, :, 0], mode="drop")
+        # buf [n_pages, h, ps]; val [s, h, t] -> advanced idx puts [s, t] first
+        return buf.at[pages, :, offset].set(jnp.moveaxis(val, 1, 2), mode="drop")
 
+    adv = jnp.sum(ok, axis=1).astype(jnp.int32)  # only written tokens advance
     return cache._replace(
         k_pages=scatter_kv(cache.k_pages, k_i8),
         sk=scatter_scale(cache.sk, sk),
         v_pages=scatter_kv(cache.v_pages, v_i8),
         sv=scatter_scale(cache.sv, sv),
-        lengths=cache.lengths + ok.astype(jnp.int32),
+        lengths=cache.lengths + adv,
     )
 
 
@@ -230,7 +254,7 @@ def _paged_decode_kernel(
     q_ref, k_ref, sk_ref, v_ref, sv_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, qk_scale, page_size, max_pages,
+    *, qk_scale, page_size, max_pages, spec=1,
 ):
     s_idx = pl.program_id(0)
     j = pl.program_id(1)
@@ -257,7 +281,13 @@ def _paged_decode_kernel(
         ) * (sk[:, None, :] * qk_scale)      # [h, group, ps]
 
         cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        mask = cols < length
+        if spec == 1:
+            mask = cols < length
+        else:
+            # speculative staircase (see kv_cache._decode_kernel): q row
+            # r = g*spec + j is the token at position length - spec + j
+            row_j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % spec
+            mask = cols < length - (spec - 1) + row_j
         s = jnp.where(mask, s, -jnp.inf)
 
         m_prev = m_scr[...][:, :, :1]
@@ -285,13 +315,46 @@ def _paged_decode_kernel(
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "return_lse", "interpret"))
+def paged_verify_attention(
+    q: jnp.ndarray,
+    cache: PagedKVCache,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Speculative staircase verify over the paged cache: q [n, H, s, d]
+    (same contract as kv_cache.verify_decode_attention — the s tokens'
+    K/V must already be appended, row j attends cols <= lengths-s+j).
+    Returns [n, H, s, d] f32."""
+    n, n_q_heads, s, d = q.shape
+    n_kv = cache.k_pages.shape[0]
+    if n_q_heads % n_kv != 0:
+        raise ValueError(f"{n_q_heads} q heads not a multiple of {n_kv} kv heads")
+    group = n_q_heads // n_kv
+    qf = q.reshape(n, n_kv, group, s, d).reshape(n, n_kv * group * s, d)
+    o = _paged_decode_attention(qf, cache, sm_scale, False, interpret, spec=s)
+    return o.reshape(n, n_kv, group, s, d).reshape(n, n_q_heads, s, d)
+
+
 def paged_decode_attention(
     q: jnp.ndarray,
     cache: PagedKVCache,
     sm_scale: float | None = None,
     return_lse: bool = False,
     interpret: bool | None = None,
+):
+    return _paged_decode_attention(q, cache, sm_scale, return_lse, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "return_lse", "interpret", "spec")
+)
+def _paged_decode_attention(
+    q: jnp.ndarray,
+    cache: PagedKVCache,
+    sm_scale: float | None = None,
+    return_lse: bool = False,
+    interpret: bool | None = None,
+    spec: int = 1,
 ):
     """Single-token decode against the paged cache: q [n_seqs, n_q_heads, d].
 
@@ -319,6 +382,7 @@ def paged_decode_attention(
         qk_scale=qk_scale,
         page_size=ps,
         max_pages=max_pages,
+        spec=spec,
     )
 
     def page_map(s, j, lens, table):

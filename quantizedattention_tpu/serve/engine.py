@@ -183,8 +183,13 @@ class ServingEngine:
                 raise ValueError("spec_decode must be >= 1")
             if mesh is not None:
                 raise ValueError("spec_decode with mesh serving is not supported yet")
-            if cache != "slotted":
-                raise ValueError("spec_decode requires the slotted cache")
+            # slotted (int8/int4) AND paged caches both verify: every cache
+            # kind has a staircase kernel + multi-token append + rollback
+            # (models/transformer.py _cache_* dispatch). A paged verify may
+            # transiently write up to spec_decode-1 tokens past a row's
+            # page budget — those land on the reserved garbage page 0, and
+            # every q row that can read them is itself beyond the budget,
+            # so its token is discarded host-side.
             if sampling_temperature(temperature) > 0.0 or top_k or top_p < 1.0:
                 raise ValueError(
                     "spec_decode is greedy-only (draft acceptance checks the "

@@ -199,6 +199,72 @@ def test_engine_spec_token_exact(lm):
     assert st["accepted"] > 0 and st["tokens_per_pass"] > 1.0
 
 
+def test_paged_multi_token_append_and_staircase():
+    """append_tokens_paged spanning a page boundary == token-at-a-time
+    appends (same pages, offsets, scales); paged_verify_attention row j ==
+    paged_decode_attention at that row's causal bound, on a shuffled page
+    table."""
+    from quantizedattention_tpu.parallel.paged_cache import (
+        append_token_paged,
+        append_tokens_paged,
+        assign_pages,
+        init_paged_cache,
+        paged_decode_attention,
+        paged_verify_attention,
+    )
+
+    hkv, d, ps = 2, 64, 128
+    cache_a = init_paged_cache(hkv, n_pages=8, n_seqs=2, max_pages_per_seq=3,
+                               head_dim=d, page_size=ps)
+    cache_b = cache_a
+    # shuffled, disjoint page lists per sequence
+    cache_a = assign_pages(cache_a, jnp.int32(0), jnp.array([5, 2, 7]))
+    cache_a = assign_pages(cache_a, jnp.int32(1), jnp.array([1, 6, 3]))
+    cache_b = assign_pages(cache_b, jnp.int32(0), jnp.array([5, 2, 7]))
+    cache_b = assign_pages(cache_b, jnp.int32(1), jnp.array([1, 6, 3]))
+    # place both rows just short of a page boundary, then append 5 tokens
+    base = jax.random.normal(jax.random.key(0), (2, 2, hkv, 126, d))
+    act = jnp.ones((2,), bool)
+    cache_a = append_tokens_paged(cache_a, base[0], base[1], act)
+    cache_b = append_tokens_paged(cache_b, base[0], base[1], act)
+    s = 5
+    kv = jax.random.normal(jax.random.key(1), (2, 2, hkv, s, d))
+    bulk = append_tokens_paged(cache_a, kv[0], kv[1], act)
+    inc = cache_b
+    for t in range(s):
+        inc = append_token_paged(inc, kv[0][:, :, t:t+1], kv[1][:, :, t:t+1], act)
+    np.testing.assert_array_equal(np.asarray(bulk.k_pages), np.asarray(inc.k_pages))
+    np.testing.assert_array_equal(np.asarray(bulk.sv), np.asarray(inc.sv))
+    assert bulk.lengths.tolist() == inc.lengths.tolist() == [131, 131]
+
+    q = jax.random.normal(jax.random.key(2), (2, 4, s, d))
+    got = paged_verify_attention(q, bulk)
+    for j in range(s):
+        want = paged_decode_attention(
+            q[:, :, j, :], bulk._replace(lengths=jnp.full((2,), 126 + j + 1, jnp.int32))
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, j, :]), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_engine_spec_paged_token_exact(lm):
+    """spec_decode over the PAGED cache == plain paged engine, including
+    composed with prefix caching (the tail-prefill + spec decode combo)."""
+    params, cfg = lm
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6], [12, 33, 2, 47]]
+    kw = dict(cache="paged", n_pages=16, page_size=128)
+    plain, _ = _run_engine(params, cfg, prompts, **kw)
+    spec, eng = _run_engine(params, cfg, prompts, spec_decode=3, **kw)
+    assert spec == plain
+    assert eng.stats()["spec"]["accepted"] > 0
+
+    kw2 = dict(kw, prefill_chunk=128, prefix_cache=True)
+    plain2, _ = _run_engine(params, cfg, prompts, **kw2)
+    spec2, _ = _run_engine(params, cfg, prompts, spec_decode=3, **kw2)
+    assert spec2 == plain2
+
+
 def test_engine_spec_eos_and_validation(lm):
     params, cfg = lm
     # EOS: pick the first generated token of a plain run as eos_id -> the
@@ -211,8 +277,6 @@ def test_engine_spec_eos_and_validation(lm):
                               spec_decode=4)
     assert spec_eos == plain_eos
 
-    with pytest.raises(ValueError, match="slotted"):
-        ServingEngine(params, cfg, cache="paged", n_pages=8, spec_decode=2)
     with pytest.raises(ValueError, match="greedy"):
         ServingEngine(params, cfg, temperature=0.7, spec_decode=2)
     with pytest.raises(ValueError, match="horizon"):
