@@ -41,6 +41,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from quantizedattention_tpu.models.transformer import (
     Sampling,
+    _cache_append,
+    _cache_decode,
+    _cache_write_slot,
     TransformerConfig,
     decode_horizon_batched,
     decode_step_batched,
@@ -310,8 +313,6 @@ class ServingEngine:
             if kv_quant not in (None, "int4"):
                 raise ValueError("kv_quant must be 'int4' or None")
             if kv_quant == "int4":
-                if mesh is not None:
-                    raise ValueError("kv_quant with mesh serving is not supported yet")
                 if prefill_chunk is not None:
                     raise ValueError(
                         "kv_quant='int4' does not support prefill_chunk yet "
@@ -343,7 +344,7 @@ class ServingEngine:
                 raise ValueError("n_slots must divide the data axis")
             self._slots_per_shard = n_slots // int(mesh.shape["data"])
             pshard, cshard, vshard = serving_shardings(
-                mesh, cfg, cache, weight_quant=weight_quant)
+                mesh, cfg, cache, weight_quant=weight_quant, kv_quant=kv_quant)
             params = jax.device_put(params, pshard)
             caches = jax.device_put(caches, cshard)
             last_tok = jax.device_put(last_tok, vshard)
@@ -351,23 +352,23 @@ class ServingEngine:
             active = jax.device_put(active, vshard)
             self._decode = make_sharded_decode_step(
                 mesh, cfg, temperature=temperature, cache=cache,
-                weight_quant=weight_quant,
+                weight_quant=weight_quant, kv_quant=kv_quant,
             )
             self._horizon_fns = {}
 
             def _mesh_horizon(h, _mesh=mesh, _cfg=cfg, _t=temperature, _c=cache,
-                              _w=weight_quant):
+                              _w=weight_quant, _kq=kv_quant):
                 if h not in self._horizon_fns:
                     self._horizon_fns[h] = make_sharded_decode_step(
                         _mesh, _cfg, temperature=_t, cache=_c, horizon=h,
-                        weight_quant=_w,
+                        weight_quant=_w, kv_quant=_kq,
                     )
                 return self._horizon_fns[h]
 
             self._horizon_fn = _mesh_horizon
             self._prefill = make_sharded_prefill_slot(
                 mesh, cfg, cache=cache, temperature=temperature,
-                weight_quant=weight_quant,
+                weight_quant=weight_quant, kv_quant=kv_quant,
             )
             if prefill_chunk is not None:
                 self._prefill_chunk_fn = make_sharded_prefill_chunk(
@@ -1011,8 +1012,8 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, key,
             cache = append_token_paged(cache, k, v, active)
             o = paged_decode_attention(q[:, :, 0, :], cache)
         else:
-            cache = append_kv(cache, k, v, active=active)
-            o = decode_attention(q[:, :, 0, :], cache)
+            cache = _cache_append(cache, k, v, active=active)
+            o = _cache_decode(q[:, :, 0, :], cache)
         o = o.reshape(b_loc, 1, h_loc * cfg.head_dim)
         x = x + jax.lax.psum(mm(o.astype(x.dtype), layer["wo"]), "model")
         hh = rmsnorm(x, layer["ln2"])
@@ -1046,6 +1047,19 @@ def cache_specs(data_axis: str = "data", model_axis: str = "model") -> Quantized
     )
 
 
+def cache4_specs(data_axis: str = "data", model_axis: str = "model"):
+    """PartitionSpec tree for one layer's Int4KVCache: same (slots on data,
+    KV heads on model) layout as cache_specs — the pack-block axis is the
+    (unsharded) token axis, so nibble packing and sharding never interact."""
+    from quantizedattention_tpu.parallel.kv4_cache import Int4KVCache
+
+    payload = P(data_axis, model_axis, None, None)
+    scales = P(data_axis, model_axis, None)
+    return Int4KVCache(
+        k_p=payload, sk=scales, v_p=payload, sv=scales, length=P(data_axis)
+    )
+
+
 def paged_cache_specs(data_axis: str = "data", model_axis: str = "model"):
     """PartitionSpec tree for one layer's PagedKVCache under the serving
     mesh: each data shard owns a PRIVATE page pool (pages sharded on data,
@@ -1063,8 +1077,14 @@ def paged_cache_specs(data_axis: str = "data", model_axis: str = "model"):
     )
 
 
-def _layer_cache_specs(cfg: TransformerConfig, cache: str):
-    one = paged_cache_specs() if cache == "paged" else cache_specs()
+def _layer_cache_specs(cfg: TransformerConfig, cache: str,
+                       kv_quant: str | None = None):
+    if cache == "paged":
+        one = paged_cache_specs()
+    elif kv_quant == "int4":
+        one = cache4_specs()
+    else:
+        one = cache_specs()
     return [one for _ in range(cfg.n_layers)]
 
 
@@ -1079,7 +1099,8 @@ def _maybe_quantized_specs(specs, weight_quant):
 def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
                              temperature: float = 0.0, cache: str = "slotted",
                              horizon: int = 1,
-                             weight_quant: str | None = None):
+                             weight_quant: str | None = None,
+                             kv_quant: str | None = None):
     """Jitted multi-chip decode step: (params, caches, last_tok, pos, active,
     key=None) -> (next_tok, caches) — or, with horizon > 1, (bank [horizon,
     n_slots], caches, last_tok, pos) with the same banked-token contract as
@@ -1097,7 +1118,7 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
 
     specs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
     vec = P("data")
-    cspecs = _layer_cache_specs(cfg, cache)
+    cspecs = _layer_cache_specs(cfg, cache, kv_quant)
 
     @functools.partial(
         jax.shard_map,
@@ -1153,7 +1174,8 @@ def make_sharded_decode_step(mesh: Mesh, cfg: TransformerConfig,
 
 def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
                               cache: str = "slotted", temperature: float = 0.0,
-                              weight_quant: str | None = None):
+                              weight_quant: str | None = None,
+                              kv_quant: str | None = None):
     """Multi-chip fused prefill of one request into cache row `slot`.
 
     Runs as ONE shard_map (no GSPMD gathers): every chip computes the
@@ -1164,14 +1186,13 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
     single-host jit: (params, caches, tokens, true_len, slot, key=...)."""
     from quantizedattention_tpu.models.sharded_train import param_specs
     from quantizedattention_tpu.models.transformer import _attention, sample_token
-    from quantizedattention_tpu.parallel.kv_cache import write_kv_slot
     from quantizedattention_tpu.parallel.paged_cache import (
         PagedKVCache,
         write_prompt_paged,
     )
 
     specs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
-    cspecs = _layer_cache_specs(cfg, cache)
+    cspecs = _layer_cache_specs(cfg, cache, kv_quant)
     n_data = mesh.shape["data"]
     n_model = mesh.shape["model"]
     h_loc = cfg.n_heads // n_model
@@ -1204,7 +1225,8 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
             k = rope(k, positions, cfg.rope_base)
 
             write = (
-                write_prompt_paged if isinstance(cache_l, PagedKVCache) else write_kv_slot
+                write_prompt_paged if isinstance(cache_l, PagedKVCache)
+                else _cache_write_slot
             )
             cache_l = jax.lax.cond(
                 own,
@@ -1358,7 +1380,8 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
 
 
 def serving_shardings(mesh: Mesh, cfg: TransformerConfig, cache: str = "slotted",
-                      weight_quant: str | None = None):
+                      weight_quant: str | None = None,
+                      kv_quant: str | None = None):
     """(param_shardings, cache_shardings, vector_sharding) NamedSharding trees
     for placing engine state before calling the sharded decode step.
     weight_quant="int8": the param tree holds QuantizedWeight leaves
@@ -1369,7 +1392,8 @@ def serving_shardings(mesh: Mesh, cfg: TransformerConfig, cache: str = "slotted"
     to_shard = lambda spec: NamedSharding(mesh, spec)
     pspecs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
     pshard = jax.tree_util.tree_map(to_shard, pspecs)
-    one = paged_cache_specs() if cache == "paged" else cache_specs()
+    one = (paged_cache_specs() if cache == "paged"
+           else cache4_specs() if kv_quant == "int4" else cache_specs())
     cshard = [
         jax.tree_util.tree_map(to_shard, one) for _ in range(cfg.n_layers)
     ]

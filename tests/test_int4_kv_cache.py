@@ -189,3 +189,25 @@ def test_engine_kv4_validation(lm):
         ServingEngine(params, cfg, cache="paged", n_pages=8, kv_quant="int4")
     with pytest.raises(ValueError, match="prefill_chunk"):
         ServingEngine(params, cfg, kv_quant="int4", prefill_chunk=128)
+
+
+def test_engine_kv4_mesh(lm):
+    """Mesh serving over the int4 cache (slots on data, kv heads on model;
+    the pack-block axis is the unsharded token axis) == the local int4
+    engine, token-exact."""
+    from quantizedattention_tpu.parallel import make_attention_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    params, cfg = lm
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+    prompts = [[5, 6, 7, 5, 6], [12, 33, 2], [1, 1, 1, 1], [9, 4]]
+
+    def run(**kw):
+        eng = ServingEngine(params, cfg, n_slots=4, scheduler="python",
+                            kv_quant="int4", **kw)
+        rids = [eng.submit(p, 8) for p in prompts]
+        res = eng.run()
+        return [res[r].tokens for r in rids]
+
+    assert run(mesh=mesh) == run()
