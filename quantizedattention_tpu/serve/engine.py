@@ -434,12 +434,20 @@ class ServingEngine:
         self._prompts: dict[int, list[int]] = {}
         self._outputs: dict[int, list[int]] = {}
         self._finished: dict[int, GenerationResult] = {}
+        self._callbacks: dict[int, object] = {}
         self._slot_req = [-1] * n_slots
 
     # -- client side --------------------------------------------------------
 
-    def submit(self, prompt, max_new_tokens: int = 32) -> int:
+    def submit(self, prompt, max_new_tokens: int = 32, on_token=None) -> int:
         """Queue a prompt (sequence of int token ids); returns a request id.
+
+        on_token: optional streaming callback `fn(request_id, token, done)`
+        invoked as generated tokens are RECORDED host-side (after each
+        fetch — with horizon banks or speculative decode, several tokens
+        of one request can stream back-to-back from a single fetch).
+        `done=True` on the final token (EOS or budget); the finished
+        GenerationResult still comes back from run() as usual.
 
         Raises ValueError if prompt + budget can never fit the KV capacity
         (the scheduler rejects it rather than letting it pend forever).
@@ -464,6 +472,8 @@ class ServingEngine:
         self._outputs[rid] = []
         self._budgets[rid] = max_new_tokens
         self._submitted_at[rid] = time.perf_counter()
+        if on_token is not None:
+            self._callbacks[rid] = on_token
         return rid
 
     def run(self) -> dict[int, GenerationResult]:
@@ -560,7 +570,13 @@ class ServingEngine:
         if rid not in self._ttft:
             self._ttft[rid] = now - self._submitted_at[rid]
         is_eos = self.eos_id is not None and token == self.eos_id
-        if self.sched.report_token(slot, is_eos):
+        finished = self.sched.report_token(slot, is_eos)
+        cb = self._callbacks.get(rid)
+        if cb is not None:
+            cb(rid, token, finished)
+            if finished:
+                self._callbacks.pop(rid, None)
+        if finished:
             self._finished[rid] = GenerationResult(
                 request_id=rid,
                 prompt=self._prompts.pop(rid),

@@ -696,3 +696,42 @@ def test_surplus_bank_guard(rng):
     out = eng.run()
     assert n_decodes["n"] == 1, n_decodes
     assert len(out[r0].tokens) == 9 and len(out[r1].tokens) == 9
+
+
+@pytest.mark.parametrize("kw", [{}, {"decode_horizon": 4}, {"spec_decode": 3}])
+def test_streaming_on_token_callback(kw):
+    """submit(on_token=...) streams exactly the result tokens, in order,
+    with done=True only on the final one — across single-step, horizon-
+    bank, and speculative engines (bursts per fetch are still per-token
+    callbacks)."""
+    cfg = small_cfg()
+    params = init_transformer(jax.random.key(0), cfg)
+    eng = ServingEngine(params, cfg, n_slots=2, scheduler="python", **kw)
+    got = {0: [], 1: []}
+
+    def cb(rid, tok, done):
+        got[rid].append((tok, done))
+
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [12, 33, 2]]
+    rids = [eng.submit(p, 10, on_token=cb) for p in prompts]
+    res = eng.run()
+    for i, rid in enumerate(rids):
+        toks = [t for t, _ in got[i]]
+        assert toks == res[rid].tokens
+        assert [d for _, d in got[i]] == [False] * (len(toks) - 1) + [True]
+
+
+def test_streaming_callback_eos():
+    """done=True fires on the EOS token and nothing streams after it."""
+    cfg = small_cfg()
+    params = init_transformer(jax.random.key(0), cfg)
+    probe = ServingEngine(params, cfg, n_slots=1, scheduler="python")
+    r = probe.submit([4, 4, 5, 4], 12)
+    eos = probe.run()[r].tokens[4]
+
+    eng = ServingEngine(params, cfg, n_slots=1, scheduler="python", eos_id=eos)
+    seen = []
+    rid = eng.submit([4, 4, 5, 4], 12, on_token=lambda r_, t, d: seen.append((t, d)))
+    res = eng.run()
+    assert [t for t, _ in seen] == res[rid].tokens
+    assert seen[-1] == (eos, True)
