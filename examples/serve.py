@@ -37,7 +37,10 @@ def main():
     )
     requests = [
         eng.submit([1, 17, 42, 100], max_new_tokens=32),
-        eng.submit([5, 5, 5], max_new_tokens=16),
+        eng.submit([5, 5, 5], max_new_tokens=16,
+                   # streaming: fires per recorded token, done on the last
+                   on_token=lambda rid, tok, done: print(
+                       f"  stream r{rid}: {tok}{' <eos/budget>' if done else ''}")),
         eng.submit(list(range(10, 40)), max_new_tokens=24),
     ]
     results = eng.run()
@@ -47,5 +50,30 @@ def main():
     print("stats:", eng.stats())
 
 
+def main_quantized_spec():
+    """The serving quantization + speculation stack in one engine:
+    int8 weights (in-VMEM-dequant matmuls), int4 KV cache (packed-nibble
+    decode), and greedy speculative decoding (n-gram prompt-lookup drafts
+    verified in one staircase dispatch — token-exact with plain greedy)."""
+    cfg = TransformerConfig(
+        vocab_size=512, d_model=256, n_heads=4, n_kv_heads=2, head_dim=64,
+        n_layers=2, max_seq=512, attention="bf16",
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    eng = ServingEngine(
+        params, cfg,
+        n_slots=2,
+        param_dtype=jnp.bfloat16,
+        weight_quant="int8",            # 2x fewer weight bytes than bf16
+        kv_quant="int4",                # 2x fewer KV bytes than the int8 cache
+        spec_decode=4,                  # up to 5 tokens per model pass
+    )
+    rid = eng.submit([7, 8, 9] * 6, max_new_tokens=32)
+    res = eng.run()
+    print(f"quantized+speculative [{res[rid].finish_reason}]: {res[rid].tokens}")
+    print("spec stats:", eng.stats()["spec"])
+
+
 if __name__ == "__main__":
     main()
+    main_quantized_spec()
