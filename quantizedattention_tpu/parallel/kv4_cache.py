@@ -292,7 +292,7 @@ def decode_attention_int4(
     if block_kv is None:
         from quantizedattention_tpu.tune.autotune import resolve_decode_block
 
-        block_kv = resolve_decode_block(cache.max_len, q.shape[-1])
+        block_kv = resolve_decode_block(cache.max_len, q.shape[-1], kind="decode4")
     return _decode_attention_int4(q, cache, sm_scale, block_kv, return_lse, interpret)
 
 
@@ -313,7 +313,7 @@ def verify_decode_attention_int4(
     if block_kv is None:
         from quantizedattention_tpu.tune.autotune import resolve_decode_block
 
-        block_kv = resolve_decode_block(cache.max_len, d)
+        block_kv = resolve_decode_block(cache.max_len, d, kind="decode4")
     qf = q.reshape(b, n_kv, group, s, d).reshape(b, n_kv * group * s, d)
     o = _decode_attention_int4(qf, cache, sm_scale, block_kv, False, interpret, spec=s)
     return o.reshape(b, n_kv, group, s, d).reshape(b, n_q_heads, s, d)

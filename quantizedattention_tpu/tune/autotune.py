@@ -256,7 +256,8 @@ def autotune_bwd(
     return best_cfg, best_t
 
 
-def resolve_decode_block(max_len: int, head_dim: int, default: int = 512) -> int:
+def resolve_decode_block(max_len: int, head_dim: int, default: int = 512,
+                         kind: str = "decode") -> int:
     """block_kv for the decode kernels on this device kind: the tuned winner
     for (kv=max_len, head_dim) when `autotune_decode` has run, else `default`.
 
@@ -271,7 +272,12 @@ def resolve_decode_block(max_len: int, head_dim: int, default: int = 512) -> int
     always transfer to the caller's full step (docs/ARCHITECTURE.md §4) —
     prefer sweeping the full step and pinning via save_config.
     """
-    cfg = load_cached_config("decode", 1, max_len, head_dim)
+    cfg = load_cached_config(kind, 1, max_len, head_dim)
+    if cfg is None and kind != "decode":
+        # int4 ("decode4") falls back to the int8 sweep's winner: the same
+        # online-softmax structure at half the payload bytes usually wants
+        # the same or a larger block; a dedicated sweep refines it.
+        cfg = load_cached_config("decode", 1, max_len, head_dim)
     return cfg.block_kv if cfg is not None else default
 
 
@@ -282,6 +288,7 @@ def autotune_decode(
     candidates=None,
     iters: int = 10,
     use_cache: bool = True,
+    kind: str = "decode",
 ):
     """Decode-kernel sweep over block_kv (the lane-axis block of
     kv_cache.decode_attention / paged_decode_attention).
@@ -291,11 +298,12 @@ def autotune_decode(
     """
     head_dim = jax.tree_util.tree_leaves(args)[0].shape[-1]
     if use_cache:
-        cached = load_cached_config("decode", 1, max_len, head_dim)
+        cached = load_cached_config(kind, 1, max_len, head_dim)
         if cached is not None:
             return cached.block_kv, None
     if candidates is None:
-        candidates = _pow2_upto(128, min(2048, _padded(max_len)))
+        lo = 256 if kind == "decode4" else 128  # int4 blocks cover pack blocks
+        candidates = _pow2_upto(lo, min(2048, _padded(max_len)))
 
     best_b, best_t = None, float("inf")
     for bkv in candidates:
@@ -308,6 +316,6 @@ def autotune_decode(
     if best_b is None:
         raise RuntimeError("autotune_decode: no candidate compiled")
     if use_cache:
-        save_config("decode", 1, max_len, head_dim,
+        save_config(kind, 1, max_len, head_dim,
                     BlockConfig(block_q=128, block_kv=best_b))
     return best_b, best_t
