@@ -56,7 +56,7 @@ from quantizedattention_tpu.models.transformer import (
     verify_step_batched,
 )
 from quantizedattention_tpu.quantize.weights import embedding_lookup, mm
-from quantizedattention_tpu.serve.spec import propose_lookup
+from quantizedattention_tpu.serve.spec import make_lookup
 from quantizedattention_tpu.parallel.kv_cache import (
     QuantizedKVCache,
     append_kv,
@@ -181,6 +181,12 @@ class ServingEngine:
         # cost a single pass for several tokens.
         self.spec_decode = spec_decode
         self.spec_ngram = spec_ngram
+        # drafting scans every slot's full history per dispatch — native
+        # C++ proposer (native/ngram.cpp) when the toolchain allows
+        self._propose = (
+            make_lookup(prefer_native=scheduler == "native")
+            if spec_decode is not None else None
+        )
         if spec_decode is not None:
             if spec_decode < 1:
                 raise ValueError("spec_decode must be >= 1")
@@ -905,7 +911,7 @@ class ServingEngine:
         drafts = np.zeros((self.n_slots, k), np.int32)
         for s in active:
             rid = self._slot_req[s]
-            prop = propose_lookup(
+            prop = self._propose(
                 self._prompts[rid] + self._outputs[rid], k,
                 max_ngram=self.spec_ngram,
             )

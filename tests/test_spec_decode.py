@@ -283,3 +283,32 @@ def test_engine_spec_eos_and_validation(lm):
         ServingEngine(params, cfg, decode_horizon=4, spec_decode=2)
     with pytest.raises(ValueError, match="spec_decode"):
         ServingEngine(params, cfg, spec_decode=0)
+
+
+def test_native_proposer_matches_python():
+    """native/ngram.cpp == the Python proposer on random, periodic, and
+    edge-case histories (the differential-oracle pattern every native
+    component here follows)."""
+    import random as _random
+
+    from quantizedattention_tpu.serve.spec import make_lookup, propose_lookup_native
+
+    try:
+        propose_lookup_native([1, 2, 1], 2)
+    except Exception:
+        pytest.skip("g++ unavailable")
+
+    rng = _random.Random(0)
+    cases = [[], [3], [1, 2, 1, 2, 1, 2], [7, 8, 9, 1, 2, 5, 7, 8],
+             list(range(50))]
+    for _ in range(200):
+        n = rng.randrange(0, 60)
+        vocab = rng.choice([2, 3, 8, 50])
+        cases.append([rng.randrange(vocab) for _ in range(n)])
+    for hist in cases:
+        for k in (1, 3, 8):
+            for mx in (1, 2, 3, 5):
+                assert propose_lookup_native(hist, k, max_ngram=mx) == \
+                    propose_lookup(hist, k, max_ngram=mx), (hist, k, mx)
+    # make_lookup returns the native one when available
+    assert make_lookup(prefer_native=True) is propose_lookup_native
