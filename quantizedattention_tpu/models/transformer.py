@@ -32,6 +32,15 @@ from quantizedattention_tpu.parallel.kv4_cache import (
     verify_decode_attention_int4,
     write_kv4_slot,
 )
+from quantizedattention_tpu.parallel.paged4_cache import (
+    Paged4KVCache,
+    append_tokens_paged4,
+    paged4_decode_attention,
+    paged4_verify_attention,
+    read_prefix_paged4,
+    write_chunk_paged4,
+    write_prompt_paged4,
+)
 from quantizedattention_tpu.parallel.paged_cache import (
     PagedKVCache,
     append_token_paged,
@@ -196,26 +205,38 @@ def _mlp_residual(layer, x):
     return x + mm(jax.nn.gelu(mm(h, layer["w1"])), layer["w2"])
 
 
-# -- cache-kind dispatch (int8 QuantizedKVCache | int4 Int4KVCache) -----------
-# isinstance branches resolve at trace time: each cache kind compiles its own
-# step, and the int8 paths are byte-identical to before the int4 cache existed.
+# -- cache-kind dispatch -------------------------------------------------------
+# Four cache kinds share every serving path: slotted int8 (QuantizedKVCache),
+# slotted int4 (Int4KVCache), paged int8 (PagedKVCache), paged int4
+# (Paged4KVCache). isinstance branches resolve at trace time: each kind
+# compiles its own step, and the int8 paths are byte-identical to before the
+# int4 kinds existed.
 
 def _cache_append(cache, k, v, active=None):
-    if isinstance(cache, PagedKVCache):
+    if isinstance(cache, (PagedKVCache, Paged4KVCache)):
         act = jnp.ones((k.shape[0],), bool) if active is None else active
-        return append_tokens_paged(cache, k, v, act)
+        fn = append_tokens_paged4 if isinstance(cache, Paged4KVCache) else append_tokens_paged
+        return fn(cache, k, v, act)
     if isinstance(cache, Int4KVCache):
         return append_kv4(cache, k, v, active=active)
     return append_kv(cache, k, v, active=active)
 
 
 def _cache_decode(q, cache):
+    if isinstance(cache, PagedKVCache):
+        return paged_decode_attention(q, cache)
+    if isinstance(cache, Paged4KVCache):
+        return paged4_decode_attention(q, cache)
     if isinstance(cache, Int4KVCache):
         return decode_attention_int4(q, cache)
     return decode_attention(q, cache)
 
 
 def _cache_write_slot(cache, slot, k, v, true_len):
+    if isinstance(cache, PagedKVCache):
+        return write_prompt_paged(cache, slot, k, v, true_len)
+    if isinstance(cache, Paged4KVCache):
+        return write_prompt_paged4(cache, slot, k, v, true_len)
     if isinstance(cache, Int4KVCache):
         return write_kv4_slot(cache, slot, k, v, true_len)
     return write_kv_slot(cache, slot, k, v, true_len)
@@ -226,6 +247,8 @@ def _cache_verify(q, cache):
         from quantizedattention_tpu.parallel.paged_cache import paged_verify_attention
 
         return paged_verify_attention(q, cache)
+    if isinstance(cache, Paged4KVCache):
+        return paged4_verify_attention(q, cache)
     if isinstance(cache, Int4KVCache):
         return verify_decode_attention_int4(q, cache)
     return verify_decode_attention(q, cache)
@@ -234,7 +257,7 @@ def _cache_verify(q, cache):
 def _cache_rollback(cache, drop):
     """Shrink live token counts by `drop` [b] (speculative rejection —
     later appends overwrite the stale entries in place)."""
-    if isinstance(cache, PagedKVCache):
+    if isinstance(cache, (PagedKVCache, Paged4KVCache)):
         return cache._replace(lengths=cache.lengths - drop)
     return cache._replace(length=cache.length - drop)
 
@@ -329,12 +352,8 @@ def decode_step_batched(
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
-        if isinstance(cache, PagedKVCache):
-            cache = append_token_paged(cache, k, v, active)
-            o = paged_decode_attention(q[:, :, 0, :], cache)
-        else:
-            cache = _cache_append(cache, k, v, active=active)
-            o = _cache_decode(q[:, :, 0, :], cache)  # GQA-native
+        cache = _cache_append(cache, k, v, active=active)
+        o = _cache_decode(q[:, :, 0, :], cache)  # GQA-native
         o = o.reshape(x.shape[0], 1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
         new_caches.append(cache)
@@ -452,12 +471,9 @@ def prefill_slot(
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
-        if isinstance(cache, PagedKVCache):
-            # paged prefill: t_pad must be a multiple of the page size (the
-            # engine buckets prompts accordingly); the slot is the seq id
-            cache = write_prompt_paged(cache, slot, k[0], v[0], true_len)
-        else:
-            cache = _cache_write_slot(cache, slot, k[0], v[0], true_len)
+        # paged prefill: t_pad must be a multiple of the page size (the
+        # engine buckets prompts accordingly); the slot is the seq id
+        cache = _cache_write_slot(cache, slot, k[0], v[0], true_len)
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(1, -1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))
@@ -499,7 +515,8 @@ def prefill_chunk(
     positions = chunk_start + jnp.arange(c)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
-        paged = isinstance(cache, PagedKVCache)
+        paged = isinstance(cache, (PagedKVCache, Paged4KVCache))
+        is4 = isinstance(cache, Paged4KVCache)
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
         # row length grows chunk by chunk (never past the real prompt end),
@@ -513,7 +530,8 @@ def prefill_chunk(
             ps = cache.page_size
             cap = cache.page_table.shape[1] * ps
             c_write = min(c, cap - chunk_start)
-            cache = write_chunk_paged(
+            write_chunk = write_chunk_paged4 if is4 else write_chunk_paged
+            cache = write_chunk(
                 cache, slot, k[0, :, :c_write], v[0, :, :c_write],
                 chunk_start // ps, new_len,
             )
@@ -528,7 +546,8 @@ def prefill_chunk(
             # prefix part: dequantized int8 rows/pages of [0, chunk_start) —
             # the same quantized values every later decode step reads
             if paged:
-                k_pre, v_pre = read_prefix_paged(cache, slot, chunk_start)
+                read_prefix = read_prefix_paged4 if is4 else read_prefix_paged
+                k_pre, v_pre = read_prefix(cache, slot, chunk_start)
                 k_pre, v_pre = k_pre[None], v_pre[None]
             else:
                 k_pre = (
@@ -570,10 +589,7 @@ def prefill_slots(
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
         for i in range(B):
-            if isinstance(cache, PagedKVCache):
-                cache = write_prompt_paged(cache, slots[i], k[i], v[i], true_lens[i])
-            else:
-                cache = _cache_write_slot(cache, slots[i], k[i], v[i], true_lens[i])
+            cache = _cache_write_slot(cache, slots[i], k[i], v[i], true_lens[i])
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(B, -1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))

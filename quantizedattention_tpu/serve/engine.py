@@ -207,8 +207,13 @@ class ServingEngine:
             if decode_horizon != 1 or adaptive_horizon is not None:
                 raise ValueError("spec_decode replaces decode_horizon/adaptive_horizon")
         self._spec_stats = {"steps": 0, "emitted": 0, "accepted": 0}
-        if kv_quant is not None and cache != "slotted":
-            raise ValueError("kv_quant requires the slotted cache")
+        if kv_quant not in (None, "int4"):
+            raise ValueError("kv_quant must be 'int4' or None")
+        if kv_quant == "int4" and cache == "paged" and mesh is not None:
+            raise ValueError(
+                "kv_quant='int4' with mesh PAGED serving is not supported yet "
+                "(paged_cache_specs has no Paged4KVCache twin)"
+            )
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
             if prefill_chunk % 128 != 0 or prefill_chunk <= 0:
@@ -303,8 +308,14 @@ class ServingEngine:
                     make_prefix_store(page_size, prefer_native=scheduler == "native")
                     for _ in range(n_shards)
                 ]
+            if kv_quant == "int4":
+                from quantizedattention_tpu.parallel.paged4_cache import init_paged4_cache
+
+                mk_paged = init_paged4_cache
+            else:
+                mk_paged = init_paged_cache
             caches = [
-                init_paged_cache(
+                mk_paged(
                     cfg.n_kv_heads, n_pages * n_shards, n_slots, max_pages_per_seq,
                     cfg.head_dim, page_size,
                 )
@@ -316,8 +327,6 @@ class ServingEngine:
             # decode, absmax/7 per-token scales. Every slotted path — fused
             # + batched prefill, decode, horizon banks, spec verify —
             # dispatches by cache type (models/transformer.py _cache_*).
-            if kv_quant not in (None, "int4"):
-                raise ValueError("kv_quant must be 'int4' or None")
             if kv_quant == "int4":
                 if prefill_chunk is not None:
                     raise ValueError(

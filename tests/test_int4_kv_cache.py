@@ -211,3 +211,90 @@ def test_engine_kv4_mesh(lm):
         return [res[r].tokens for r in rids]
 
     assert run(mesh=mesh) == run()
+
+
+# -- paged int4 -----------------------------------------------------------------
+
+def test_paged4_append_and_staircase():
+    """Paged int4: boundary-spanning multi-token appends == token-at-a-time;
+    staircase verify == per-position decode; prompt-write == appends on the
+    prefix view. Shuffled page tables throughout."""
+    from quantizedattention_tpu.parallel.paged4_cache import (
+        append_tokens_paged4,
+        assign_pages4,
+        init_paged4_cache,
+        paged4_decode_attention,
+        paged4_verify_attention,
+        read_prefix_paged4,
+        write_prompt_paged4,
+    )
+
+    hkv, d, ps = 2, 64, 128
+    mk = lambda: init_paged4_cache(hkv, n_pages=8, n_seqs=2,
+                                   max_pages_per_seq=3, head_dim=d,
+                                   page_size=ps)
+    pages = [jnp.array([5, 2, 7]), jnp.array([1, 6, 3])]
+
+    def with_pages(c):
+        c = assign_pages4(c, jnp.int32(0), pages[0])
+        return assign_pages4(c, jnp.int32(1), pages[1])
+
+    act = jnp.ones((2,), bool)
+    base = jax.random.normal(jax.random.key(0), (2, 2, hkv, 125, d))
+    a = append_tokens_paged4(with_pages(mk()), base[0], base[1], act)
+    b = append_tokens_paged4(with_pages(mk()), base[0], base[1], act)
+    s = 6  # spans the 125 -> 128 page boundary AND the nibble half at 64
+    kv = jax.random.normal(jax.random.key(1), (2, 2, hkv, s, d))
+    bulk = append_tokens_paged4(a, kv[0], kv[1], act)
+    inc = b
+    for t in range(s):
+        inc = append_tokens_paged4(inc, kv[0][:, :, t:t+1], kv[1][:, :, t:t+1], act)
+    np.testing.assert_array_equal(np.asarray(bulk.k_p), np.asarray(inc.k_p))
+    np.testing.assert_array_equal(np.asarray(bulk.sv), np.asarray(inc.sv))
+    assert bulk.lengths.tolist() == [131, 131]
+
+    q = jax.random.normal(jax.random.key(2), (2, 4, s, d))
+    got = paged4_verify_attention(q, bulk)
+    for j in range(s):
+        want = paged4_decode_attention(
+            q[:, :, j, :],
+            bulk._replace(lengths=jnp.full((2,), 125 + j + 1, jnp.int32)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[:, :, j, :]), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    # write_prompt (arithmetic pack) == appends (RMW) on the dequantized
+    # prefix; padded region is masked by true_len
+    t_pad = 256
+    k_new = jax.random.normal(jax.random.key(3), (hkv, t_pad, d))
+    v_new = jax.random.normal(jax.random.key(4), (hkv, t_pad, d))
+    w = write_prompt_paged4(with_pages(mk()), jnp.int32(0), k_new, v_new,
+                            jnp.int32(200))
+    ap = append_tokens_paged4(with_pages(mk()), k_new[None], v_new[None],
+                              jnp.ones((1,), bool)[:1])
+    kw_, vw_ = read_prefix_paged4(w, jnp.int32(0), 256)
+    ka_, va_ = read_prefix_paged4(ap, jnp.int32(0), 256)
+    np.testing.assert_allclose(np.asarray(kw_), np.asarray(ka_), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vw_), np.asarray(va_), rtol=1e-6)
+
+
+def test_engine_paged4(lm):
+    """kv_quant='int4' + cache='paged' serves end-to-end and is token-exact
+    with the SLOTTED int4 engine (same quantization, different layout) —
+    including spec decode and chunked prefill + prefix caching."""
+    params, cfg = lm
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [12, 33, 2]]
+    kw = dict(cache="paged", n_pages=16, page_size=128, kv_quant="int4")
+
+    slotted4 = _run(params, cfg, prompts, kv_quant="int4")
+    paged4 = _run(params, cfg, prompts, **kw)
+    assert paged4 == slotted4
+    spec4 = _run(params, cfg, prompts, spec_decode=3, **kw)
+    assert spec4 == slotted4
+
+    # chunked prefill + automatic prefix caching over int4 pages
+    kw2 = dict(kw, prefill_chunk=128, prefix_cache=True)
+    a = _run(params, cfg, [list(range(1, 50))], **kw2)
+    b = _run(params, cfg, [list(range(1, 50))], **kw2)
+    assert a == b
