@@ -644,6 +644,10 @@ def main():
         "unit": "x",
         "vs_baseline": round(speedup / 2.0, 4),
     })
+    # emit the claimable line NOW (flushed): the remaining ~20 sections pay
+    # many cold relay compiles, and a timeout mid-run must not cost the
+    # already-measured headline (BENCH_r03 died to exactly this class)
+    print(headline, flush=True)
 
     # the reference's canonical shape (detail; its own headline was 0.90x)
     _section("ref-shape", bench_shape, 8, 35, 1024, 64, causal=True)
@@ -695,8 +699,7 @@ def main():
     # ~30-38 TFLOP/s -> ~100x; the headline stays at 4096 where the anchor
     # is still a meaningful comparison)
     _section("seq8192", bench_shape, 2, 8, 8192, 64, causal=True)
-
-    print(headline)
+    log("headline (already printed on stdout): " + headline)
 
 
 if __name__ == "__main__":

@@ -209,11 +209,7 @@ class ServingEngine:
         self._spec_stats = {"steps": 0, "emitted": 0, "accepted": 0}
         if kv_quant not in (None, "int4"):
             raise ValueError("kv_quant must be 'int4' or None")
-        if kv_quant == "int4" and cache == "paged" and mesh is not None:
-            raise ValueError(
-                "kv_quant='int4' with mesh PAGED serving is not supported yet "
-                "(paged_cache_specs has no Paged4KVCache twin)"
-            )
+
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
             if prefill_chunk % 128 != 0 or prefill_chunk <= 0:
@@ -388,7 +384,7 @@ class ServingEngine:
             if prefill_chunk is not None:
                 self._prefill_chunk_fn = make_sharded_prefill_chunk(
                     mesh, cfg, cache=cache, temperature=temperature,
-                    weight_quant=weight_quant,
+                    weight_quant=weight_quant, kv_quant=kv_quant,
                 )
         else:
             self._decode = jax.jit(
@@ -1108,10 +1104,25 @@ def paged_cache_specs(data_axis: str = "data", model_axis: str = "model"):
     )
 
 
+def paged4_cache_specs(data_axis: str = "data", model_axis: str = "model"):
+    """Paged4KVCache twin of paged_cache_specs (same private-pool-per-data-
+    shard layout; the in-page pack axis is unsharded)."""
+    from quantizedattention_tpu.parallel.paged4_cache import Paged4KVCache
+
+    return Paged4KVCache(
+        k_p=P(model_axis, data_axis, None, None),
+        sk=P(data_axis, model_axis, None),
+        v_p=P(model_axis, data_axis, None, None),
+        sv=P(data_axis, model_axis, None),
+        page_table=P(data_axis, None),
+        lengths=P(data_axis),
+    )
+
+
 def _layer_cache_specs(cfg: TransformerConfig, cache: str,
                        kv_quant: str | None = None):
     if cache == "paged":
-        one = paged_cache_specs()
+        one = paged4_cache_specs() if kv_quant == "int4" else paged_cache_specs()
     elif kv_quant == "int4":
         one = cache4_specs()
     else:
@@ -1289,7 +1300,8 @@ def make_sharded_prefill_slot(mesh: Mesh, cfg: TransformerConfig,
 def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                                cache: str = "slotted",
                                temperature: float = 0.0,
-                               weight_quant: str | None = None):
+                               weight_quant: str | None = None,
+                               kv_quant: str | None = None):
     """Multi-chip CHUNKED prefill (the mesh counterpart of
     models.transformer.prefill_chunk, same keyword signature).
 
@@ -1303,6 +1315,11 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
     from quantizedattention_tpu.models.transformer import sample_token
     from quantizedattention_tpu.ops.flash_fwd import flash_attention_fwd
     from quantizedattention_tpu.parallel.kv_cache import write_kv_chunk
+    from quantizedattention_tpu.parallel.paged4_cache import (
+        Paged4KVCache,
+        read_prefix_paged4,
+        write_chunk_paged4,
+    )
     from quantizedattention_tpu.parallel.paged_cache import (
         PagedKVCache,
         read_prefix_paged,
@@ -1311,7 +1328,7 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
     from quantizedattention_tpu.parallel.ring import _merge_partials
 
     specs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
-    cspecs = _layer_cache_specs(cfg, cache)
+    cspecs = _layer_cache_specs(cfg, cache, kv_quant)
     n_model = mesh.shape["model"]
     h_loc = cfg.n_heads // n_model
     kv_loc = cfg.n_kv_heads // n_model
@@ -1336,7 +1353,7 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
             x = embedding_lookup(params["embed"], tokens)[None]
             new_caches = []
             for layer, cache_l in zip(params["layers"], caches):
-                paged = isinstance(cache_l, PagedKVCache)
+                paged = isinstance(cache_l, (PagedKVCache, Paged4KVCache))
                 h = rmsnorm(x, layer["ln1"])
                 q = mm(h, layer["wq"]).reshape(1, c, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
                 k = mm(h, layer["wk"]).reshape(1, c, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -1349,7 +1366,9 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                     ps = cache_l.page_size
                     cap = cache_l.page_table.shape[1] * ps
                     c_w = min(c, cap - chunk_start)
-                    write = lambda cc: write_chunk_paged(
+                    wfn = (write_chunk_paged4
+                           if isinstance(cache_l, Paged4KVCache) else write_chunk_paged)
+                    write = lambda cc, _w=wfn: _w(
                         cc, slot_loc, k[0, :, :c_w], v[0, :, :c_w],
                         chunk_start // ps, new_len)
                 else:
@@ -1362,7 +1381,9 @@ def make_sharded_prefill_chunk(mesh: Mesh, cfg: TransformerConfig,
                 o, lse = flash_attention_fwd(q, k, v, causal=True)  # GQA-native
                 if chunk_start > 0:
                     if paged:
-                        k_pre, v_pre = read_prefix_paged(cache_l, slot_loc, chunk_start)
+                        rfn = (read_prefix_paged4
+                               if isinstance(cache_l, Paged4KVCache) else read_prefix_paged)
+                        k_pre, v_pre = rfn(cache_l, slot_loc, chunk_start)
                         k_pre, v_pre = k_pre[None], v_pre[None]
                     else:
                         k_pre = (
@@ -1423,8 +1444,7 @@ def serving_shardings(mesh: Mesh, cfg: TransformerConfig, cache: str = "slotted"
     to_shard = lambda spec: NamedSharding(mesh, spec)
     pspecs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
     pshard = jax.tree_util.tree_map(to_shard, pspecs)
-    one = (paged_cache_specs() if cache == "paged"
-           else cache4_specs() if kv_quant == "int4" else cache_specs())
+    one = _layer_cache_specs(cfg, cache, kv_quant)[0]
     cshard = [
         jax.tree_util.tree_map(to_shard, one) for _ in range(cfg.n_layers)
     ]

@@ -298,3 +298,26 @@ def test_engine_paged4(lm):
     a = _run(params, cfg, [list(range(1, 50))], **kw2)
     b = _run(params, cfg, [list(range(1, 50))], **kw2)
     assert a == b
+
+
+def test_engine_paged4_mesh(lm):
+    """Mesh serving over int4 PAGES (private per-data-shard pools,
+    paged4_cache_specs) == the local paged4 engine, token-exact — with
+    chunked prefill in the mix."""
+    from quantizedattention_tpu.parallel import make_attention_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    params, cfg = lm
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+    prompts = [[5, 6, 7, 5, 6], [12, 33, 2], list(range(1, 40)), [9, 4]]
+
+    def run(**kw):
+        eng = ServingEngine(params, cfg, n_slots=4, scheduler="python",
+                            cache="paged", n_pages=16, page_size=128,
+                            kv_quant="int4", prefill_chunk=128, **kw)
+        rids = [eng.submit(p, 8) for p in prompts]
+        res = eng.run()
+        return [res[r].tokens for r in rids]
+
+    assert run(mesh=mesh) == run()
