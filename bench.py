@@ -442,7 +442,8 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
         times.append(time.perf_counter() - t0)
     times.sort()
     per_step = times[len(times) // 2] / n
-    blk = resolve_decode_block(cfg.max_seq, cfg.head_dim)
+    blk = resolve_decode_block(cfg.max_seq, cfg.head_dim,
+                               kind="decode4" if kv_quant == "int4" else "decode")
     wq = f", int8 weights ({weight_quant})" if weight_quant else ""
     if kv_quant:
         wq += f", kv cache {kv_quant} (max_seq {cfg.max_seq})"

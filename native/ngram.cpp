@@ -25,7 +25,8 @@ extern "C" {
 int32_t qa_propose_lookup(const int32_t* hist, int32_t n, int32_t k,
                           int32_t max_ngram, int32_t min_ngram,
                           int32_t* out) {
-    if (k < 1 || n < min_ngram + 1 || min_ngram < 1) return 0;
+    if (min_ngram < 1) min_ngram = 1;  // clamp, matching the Python twin
+    if (k < 1 || n < min_ngram + 1) return 0;
     int32_t top = max_ngram < n - 1 ? max_ngram : n - 1;
     for (int32_t ng = top; ng >= min_ngram; --ng) {
         const int32_t* suffix = hist + n - ng;

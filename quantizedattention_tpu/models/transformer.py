@@ -29,6 +29,7 @@ from quantizedattention_tpu.parallel.kv4_cache import (
     append_kv4,
     decode_attention_int4,
     init_kv4_cache,
+    install_kv4_batched,
     verify_decode_attention_int4,
     write_kv4_slot,
 )
@@ -220,6 +221,15 @@ def _cache_append(cache, k, v, active=None):
     if isinstance(cache, Int4KVCache):
         return append_kv4(cache, k, v, active=active)
     return append_kv(cache, k, v, active=active)
+
+
+def _cache_install_batch(cache, k, v):
+    """Whole-batch prompt install into all-fresh rows (prefill_batched's
+    contract: every row at length 0). int4 takes the arithmetic whole-block
+    pack — append_kv4's RMW rounds exist for nonzero offsets only."""
+    if isinstance(cache, Int4KVCache):
+        return install_kv4_batched(cache, k, v)
+    return _cache_append(cache, k, v)
 
 
 def _cache_decode(q, cache):
@@ -613,7 +623,7 @@ def prefill_batched(
     for layer, cache in zip(params["layers"], caches):
         h = rmsnorm(x, layer["ln1"])
         q, k, v = _project_qkv(layer, h, cfg, positions)
-        cache = _cache_append(cache, k, v)
+        cache = _cache_install_batch(cache, k, v)
         o = _attention(q, k, v, cfg)
         o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], -1, cfg.n_heads * cfg.head_dim)
         x = _mlp_residual(layer, x + mm(o.astype(x.dtype), layer["wo"]))

@@ -63,19 +63,24 @@ def unpack_int4(packed: jnp.ndarray):
 
 def _kernel(x_lo_ref, x_hi_ref, p_ref, s_lo_ref, s_hi_ref, o_ref, *,
             group: int, out_dtype):
-    lo, hi = unpack_int4(p_ref[...])
-    n_groups = lo.shape[0] // group
+    n_groups = p_ref.shape[0] // group
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for t in range(n_groups):
         rows = slice(t * group, (t + 1) * group)
-        # int4 -> bf16 happens HERE on the VMEM tile: HBM saw nibble bytes.
-        # Group scale factors out of the dot (constant across its k rows).
+        # Unpack PER GROUP, not the whole tile: byte rows [t*g, (t+1)*g)
+        # carry lo-half group t in their low nibbles and hi-half group t in
+        # their high nibbles, so each iteration touches one [group, block_n]
+        # int32 temporary (~256 KB) instead of two full-K ones (2 x 8 MB at
+        # K=8192 — over the 16 MB scoped-VMEM budget if Mosaic didn't sink
+        # the shifts). int4 -> bf16 happens on the VMEM tile: HBM saw
+        # nibble bytes. Group scale factors out of the dot.
+        lo, hi = unpack_int4(p_ref[rows, :])
         acc += jax.lax.dot(
-            x_lo_ref[:, rows], lo[rows].astype(jnp.bfloat16),
+            x_lo_ref[:, rows], lo.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ) * s_lo_ref[0, t : t + 1, :]
         acc += jax.lax.dot(
-            x_hi_ref[:, rows], hi[rows].astype(jnp.bfloat16),
+            x_hi_ref[:, rows], hi.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         ) * s_hi_ref[0, t : t + 1, :]
     o_ref[...] = acc.astype(out_dtype)

@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from quantizedattention_tpu.ops.common import qk_scales
+from quantizedattention_tpu.ops.int4_linear import unpack_int4
 from quantizedattention_tpu.utils.runtime import cdiv, use_interpret_mode
 
 _LANES = 128
@@ -135,6 +136,35 @@ def append_kv4(
     return Int4KVCache(k_p, sk_b, v_p, sv_b, cache.length + adv)
 
 
+@jax.jit
+def install_kv4_batched(
+    cache: Int4KVCache, k_new: jnp.ndarray, v_new: jnp.ndarray
+) -> Int4KVCache:
+    """Whole-prompt install into ALL-FRESH rows (every row at length 0 —
+    prefill_batched's contract): one arithmetic lo|hi<<4 pack per pack
+    block instead of append_kv4's t/128 read-modify-write rounds.
+    k_new/v_new [b, h_kv, t, d]; every row's length becomes t."""
+    b, h, t, d = k_new.shape
+    tp = -(-t // PACK) * PACK
+    pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+    k4, sk = _quant4_rows(jnp.pad(k_new.astype(jnp.float32), pad))
+    v4, sv = _quant4_rows(jnp.pad(v_new.astype(jnp.float32), pad))
+
+    def pack(v):  # [b, h, tp, d] nibbles -> [b, h, tp/2, d] bytes
+        g = v.reshape(b, h, tp // PACK, PACK, d)
+        return (g[:, :, :, : PACK // 2] | (g[:, :, :, PACK // 2 :] << 4)).reshape(
+            b, h, tp // 2, d
+        )
+
+    return Int4KVCache(
+        k_p=cache.k_p.at[:, :, : tp // 2].set(pack(k4)),
+        sk=cache.sk.at[:, :, :tp].set(sk),
+        v_p=cache.v_p.at[:, :, : tp // 2].set(pack(v4)),
+        sv=cache.sv.at[:, :, :tp].set(sv),
+        length=jnp.full((b,), t, jnp.int32),
+    )
+
+
 def write_kv4_slot(
     cache: Int4KVCache,
     slot: jnp.ndarray,
@@ -185,9 +215,9 @@ def dequantize_kv4(cache: Int4KVCache):
     # token order within a pack block: [lo rows ; hi rows]
     def unpack_ordered(p):
         b, h, half_l, d = p.shape
-        p32 = p.astype(jnp.int32)
-        lo = ((p32 << 28) >> 28).reshape(b, h, -1, PACK // 2, d)
-        hi = ((p32 << 24) >> 28).reshape(b, h, -1, PACK // 2, d)
+        lo, hi = unpack_int4(p)  # shared nibble decode (ops/int4_linear.py)
+        lo = lo.reshape(b, h, -1, PACK // 2, d)
+        hi = hi.reshape(b, h, -1, PACK // 2, d)
         return jnp.concatenate([lo, hi], axis=3).reshape(
             b, h, 2 * half_l, d
         ).astype(jnp.float32)
@@ -200,9 +230,9 @@ def dequantize_kv4(cache: Int4KVCache):
 def _unpack_block(p_bytes, block_kv):
     """[h, block_kv/2, d] byte tile -> [h, block_kv, d] bf16 nibbles in
     token order (contiguous sublane concat of per-pack-block halves)."""
-    p32 = p_bytes.astype(jnp.int32)
-    lo = ((p32 << 28) >> 28).astype(jnp.bfloat16)
-    hi = ((p32 << 24) >> 28).astype(jnp.bfloat16)
+    lo, hi = unpack_int4(p_bytes)  # shared nibble decode (ops/int4_linear.py)
+    lo = lo.astype(jnp.bfloat16)
+    hi = hi.astype(jnp.bfloat16)
     half = PACK // 2
     pieces = []
     for t in range(block_kv // PACK):

@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from quantizedattention_tpu.ops.common import qk_scales
+from quantizedattention_tpu.ops.int4_linear import unpack_int4
 from quantizedattention_tpu.parallel.kv4_cache import _quant4_rows
 from quantizedattention_tpu.utils.runtime import use_interpret_mode
 
@@ -150,10 +151,9 @@ def write_chunk_paged4(
 
 def _unpack_page(p: jnp.ndarray):
     """[..., ps/2, d] bytes -> [..., ps, d] int32 nibbles in token order
-    (one contiguous concat along the token axis)."""
-    p32 = p.astype(jnp.int32)
-    lo = (p32 << 28) >> 28
-    hi = (p32 << 24) >> 28
+    (one contiguous concat along the token axis; shared nibble decode —
+    ops/int4_linear.py)."""
+    lo, hi = unpack_int4(p)
     return jnp.concatenate([lo, hi], axis=-2)
 
 

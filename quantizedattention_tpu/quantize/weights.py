@@ -245,11 +245,19 @@ def mm(x: jnp.ndarray, w: Any, via: str | None = None) -> jnp.ndarray:
     return out.reshape(*lead, w.w_i8.shape[1])
 
 
-def embedding_lookup(embed: Any, tokens: jnp.ndarray) -> jnp.ndarray:
-    """embed[tokens] for a plain table or a row-quantized QuantizedWeight."""
+def embedding_lookup(embed: Any, tokens: jnp.ndarray,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """embed[tokens] for a plain table or a row-quantized QuantizedWeight.
+
+    Quantized tables dequantize into `dtype` (default bf16 — the serving
+    activation dtype). NOTE this sets the ACTIVATION precision of the whole
+    quantized forward pass: x enters layer 0 in `dtype` and every mm
+    returns x.dtype, so quantizing weights on f32 params runs bf16
+    activations unless dtype=jnp.float32 is passed. Plain tables return
+    their own dtype unchanged."""
     if not isinstance(embed, QuantizedWeight):
         return embed[tokens]
     if embed.axis != 0:
         raise ValueError("embedding_lookup wants per-row scales (axis=0)")
-    rows = embed.w_i8[tokens].astype(jnp.bfloat16)
-    return rows * embed.scale[tokens][..., None].astype(jnp.bfloat16)
+    rows = embed.w_i8[tokens].astype(dtype)
+    return rows * embed.scale[tokens][..., None].astype(dtype)

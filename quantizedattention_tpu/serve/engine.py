@@ -323,6 +323,19 @@ class ServingEngine:
             # decode, absmax/7 per-token scales. Every slotted path — fused
             # + batched prefill, decode, horizon banks, spec verify —
             # dispatches by cache type (models/transformer.py _cache_*).
+            #
+            # spec_decode SLACK: a verify step appends spec+1 tokens before
+            # rolling rejected ones back, so a slot at pos close to max_seq
+            # transiently writes past it. The int8 append
+            # (dynamic_update_slice) CLAMPS on overflow — which would shift
+            # the whole write left and corrupt LIVE entries — so slotted
+            # caches reserve one extra (lane/pack-aligned) block of scratch
+            # rows; the length mask keeps them invisible to every read.
+            # (Paged caches route overshoot to reserved page 0 instead.)
+            slack = 0
+            if spec_decode is not None:
+                grain = 256 if kv_quant == "int4" else 128
+                slack = -(-(spec_decode + 1) // grain) * grain
             if kv_quant == "int4":
                 if prefill_chunk is not None:
                     raise ValueError(
@@ -332,12 +345,14 @@ class ServingEngine:
                 from quantizedattention_tpu.parallel.kv4_cache import init_kv4_cache
 
                 caches = [
-                    init_kv4_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+                    init_kv4_cache(n_slots, cfg.n_kv_heads,
+                                   cfg.max_seq + slack, cfg.head_dim)
                     for _ in params["layers"]
                 ]
             else:
                 caches = [
-                    init_kv_cache(n_slots, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+                    init_kv_cache(n_slots, cfg.n_kv_heads,
+                                  cfg.max_seq + slack, cfg.head_dim)
                     for _ in params["layers"]
                 ]
         else:

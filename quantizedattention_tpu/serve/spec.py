@@ -90,6 +90,7 @@ def propose_lookup(
     nothing matches — the caller pads (padding is harmless: unverified
     drafts are simply rejected).
     """
+    min_ngram = max(1, min_ngram)  # clamped identically in native/ngram.cpp
     if k < 1 or len(history) < min_ngram + 1:
         return []
     for n in range(min(max_ngram, len(history) - 1), min_ngram - 1, -1):

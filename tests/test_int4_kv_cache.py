@@ -185,9 +185,8 @@ def test_engine_kv4_validation(lm):
     params, cfg = lm
     with pytest.raises(ValueError, match="kv_quant"):
         ServingEngine(params, cfg, kv_quant="int2")
-    with pytest.raises(ValueError, match="slotted"):
-        ServingEngine(params, cfg, cache="paged", n_pages=8, kv_quant="int4")
     with pytest.raises(ValueError, match="prefill_chunk"):
+        # SLOTTED int4 has no chunk writer (paged int4 does)
         ServingEngine(params, cfg, kv_quant="int4", prefill_chunk=128)
 
 

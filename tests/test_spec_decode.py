@@ -312,3 +312,25 @@ def test_native_proposer_matches_python():
                     propose_lookup(hist, k, max_ngram=mx), (hist, k, mx)
     # make_lookup returns the native one when available
     assert make_lookup(prefer_native=True) is propose_lookup_native
+
+
+@pytest.mark.parametrize("kvq", [None, "int4"])
+def test_engine_spec_at_full_capacity(lm, kvq):
+    """A slot whose prompt+budget EXACTLY fills max_seq must stay token-
+    exact under spec decode: the verify step transiently appends spec+1
+    tokens past max_seq, and the slotted int8 append would CLAMP (shifting
+    the write onto live entries) without the engine's reserved slack rows.
+    Regression for the round-4 review's top finding."""
+    import dataclasses as _dc
+
+    params, cfg = lm
+    if kvq == "int4":  # the int4 cache wants a 256-aligned max_seq
+        cfg = _dc.replace(cfg, max_seq=256)
+    budget = 24
+    prompt = ([5, 6, 7] * cfg.max_seq)[: cfg.max_seq - budget]
+    assert len(prompt) + budget == cfg.max_seq
+    kw = {} if kvq is None else {"kv_quant": kvq}
+    plain, _ = _run_engine(params, cfg, [prompt], budget=budget, **kw)
+    spec, _ = _run_engine(params, cfg, [prompt], budget=budget,
+                          spec_decode=4, **kw)
+    assert spec == plain and len(plain[0]) == budget
