@@ -30,7 +30,9 @@ from quantizedattention_tpu.parallel.kv4_cache import (
     decode_attention_int4,
     init_kv4_cache,
     install_kv4_batched,
+    read_prefix_kv4,
     verify_decode_attention_int4,
+    write_kv4_chunk,
     write_kv4_slot,
 )
 from quantizedattention_tpu.parallel.paged4_cache import (
@@ -547,7 +549,9 @@ def prefill_chunk(
             )
         else:
             c_write = min(c, cache.max_len - chunk_start)
-            cache = write_kv_chunk(
+            wchunk = (write_kv4_chunk if isinstance(cache, Int4KVCache)
+                      else write_kv_chunk)
+            cache = wchunk(
                 cache, slot, k[0, :, :c_write], v[0, :, :c_write], chunk_start,
                 new_len,
             )
@@ -558,6 +562,9 @@ def prefill_chunk(
             if paged:
                 read_prefix = read_prefix_paged4 if is4 else read_prefix_paged
                 k_pre, v_pre = read_prefix(cache, slot, chunk_start)
+                k_pre, v_pre = k_pre[None], v_pre[None]
+            elif isinstance(cache, Int4KVCache):
+                k_pre, v_pre = read_prefix_kv4(cache, slot, chunk_start)
                 k_pre, v_pre = k_pre[None], v_pre[None]
             else:
                 k_pre = (

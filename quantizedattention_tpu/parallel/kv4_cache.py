@@ -209,6 +209,63 @@ def write_kv4_slot(
     )
 
 
+def write_kv4_chunk(
+    cache: Int4KVCache,
+    slot: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    start,
+    new_len: jnp.ndarray,
+) -> Int4KVCache:
+    """Chunked-prefill write (the int4 twin of kv_cache.write_kv_chunk):
+    quantize [h_kv, c, d] K/V and install them at (row `slot`, position
+    `start`). Chunks are 128-aligned but PACK is 256, so half the chunks
+    land in high nibbles — the RMW token writer handles both, in <=128
+    collision-free pieces."""
+    c = k_new.shape[1]
+    k4, sk = _quant4_rows(k_new.astype(jnp.float32))
+    v4, sv = _quant4_rows(v_new.astype(jnp.float32))
+    start = jnp.asarray(start, jnp.int32)
+    kbuf, skbuf = cache.k_p[slot], cache.sk[slot]
+    vbuf, svbuf = cache.v_p[slot], cache.sv[slot]
+    for c0 in range(0, c, PACK // 2):
+        c1 = min(c0 + PACK // 2, c)
+        positions = start + jnp.arange(c0, c1)
+        kbuf = _write_tokens_packed(kbuf, k4[:, c0:c1], positions)
+        vbuf = _write_tokens_packed(vbuf, v4[:, c0:c1], positions)
+        skbuf = _write_scales(skbuf, sk[:, c0:c1], positions)
+        svbuf = _write_scales(svbuf, sv[:, c0:c1], positions)
+    return Int4KVCache(
+        k_p=cache.k_p.at[slot].set(kbuf),
+        sk=cache.sk.at[slot].set(skbuf),
+        v_p=cache.v_p.at[slot].set(vbuf),
+        sv=cache.sv.at[slot].set(svbuf),
+        length=cache.length.at[slot].set(new_len.astype(jnp.int32)),
+    )
+
+
+def read_prefix_kv4(cache: Int4KVCache, slot: jnp.ndarray, n_tokens: int):
+    """Dequantize the first `n_tokens` (static, 128-aligned) of row `slot`
+    — the chunked-prefill prefix view (reads whole pack blocks, trims)."""
+    np_blocks = -(-n_tokens // PACK)  # whole pack blocks, then trim
+    half = PACK // 2
+    p_k = cache.k_p[slot, :, : np_blocks * half]  # [h, rows, d]
+    p_v = cache.v_p[slot, :, : np_blocks * half]
+
+    def unpack_rows(p):
+        h, rows, d = p.shape
+        lo, hi = unpack_int4(p)
+        lo = lo.reshape(h, np_blocks, half, d)
+        hi = hi.reshape(h, np_blocks, half, d)
+        return jnp.concatenate([lo, hi], axis=2).reshape(
+            h, np_blocks * PACK, d
+        ).astype(jnp.float32)[:, :n_tokens]
+
+    k = unpack_rows(p_k) * cache.sk[slot, :, :n_tokens, None]
+    v = unpack_rows(p_v) * cache.sv[slot, :, :n_tokens, None]
+    return k, v
+
+
 def dequantize_kv4(cache: Int4KVCache):
     """Unpack to f32 K/V [b, h, max_len, d] — the test oracle's view."""
 

@@ -337,11 +337,6 @@ class ServingEngine:
                 grain = 256 if kv_quant == "int4" else 128
                 slack = -(-(spec_decode + 1) // grain) * grain
             if kv_quant == "int4":
-                if prefill_chunk is not None:
-                    raise ValueError(
-                        "kv_quant='int4' does not support prefill_chunk yet "
-                        "(chunked prefill reads the cache through the int8 path)"
-                    )
                 from quantizedattention_tpu.parallel.kv4_cache import init_kv4_cache
 
                 caches = [

@@ -185,9 +185,18 @@ def test_engine_kv4_validation(lm):
     params, cfg = lm
     with pytest.raises(ValueError, match="kv_quant"):
         ServingEngine(params, cfg, kv_quant="int2")
-    with pytest.raises(ValueError, match="prefill_chunk"):
-        # SLOTTED int4 has no chunk writer (paged int4 does)
-        ServingEngine(params, cfg, kv_quant="int4", prefill_chunk=128)
+
+
+def test_engine_kv4_chunked_prefill(lm):
+    """Slotted int4 + chunked prefill (write_kv4_chunk RMW across nibble
+    halves + read_prefix_kv4): multi-chunk admission == one-shot prefill,
+    token-exact under the same quantization."""
+    params, cfg = lm  # max_seq 256
+    long_prompt = list(range(1, 200))  # 199 tokens -> 2 chunks of 128
+    plain = _run(params, cfg, [long_prompt], budget=8, kv_quant="int4")
+    chunked = _run(params, cfg, [long_prompt], budget=8, kv_quant="int4",
+                   prefill_chunk=128)
+    assert chunked == plain
 
 
 def test_engine_kv4_mesh(lm):
