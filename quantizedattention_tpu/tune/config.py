@@ -56,28 +56,67 @@ class BlockConfig:
     def kv_compute(self) -> int:
         return self.block_kv_compute or self.block_kv
 
-    def clamp_rep(self, rep: int, max_rows: int = 4096) -> "BlockConfig":
-        """Shrink q blocks so a GQA q-group fits scoped VMEM (16 MB on v5e).
+    def clamp_rep(
+        self,
+        rep: int,
+        max_rows: int = 2048,
+        max_tile_elems: int = 2 * 1024 * 1024,
+        max_tile_elems_bwd: int = 1024 * 1024,
+    ) -> "BlockConfig":
+        """Shrink blocks so a GQA q-group fits scoped VMEM (16 MB on v5e).
 
-        The GQA-native kernels carry the kv head's whole q group per grid
-        step: softmax stats are [rep, block_q, 128] f32 (x2 for m and l) plus
-        a [rep, block_q, d] accumulator, so scratch scales with rep*block_q.
-        Capping rep*block_q at max_rows=4096 bounds the m+l scratch at
-        2*4096*128*4 B = 4.2 MB, leaving headroom for the q/O blocks and
-        double-buffered K/V. rep <= 4 with the default block_q=1024 is
-        unchanged (the measured v5e optima); rep=8 -> 512, MQA rep=16 -> 256.
-        Deterministic and idempotent, so forward/backward and the int8
-        quantization tiling (which all re-apply it with the same rep) agree.
+        The group loop is UNROLLED in the GQA-native kernels, so Mosaic's
+        scoped-vmem stack holds live per-group logits/P tiles plus the
+        [rep, block_q, *] softmax-stat updates — a real-lowering failure
+        interpret mode cannot catch. Measured on v5e at rep=4 (compile
+        sweep, experiments/gqa_compile_check.py): every rep*block_q = 4096-
+        row config OOMs (16.1-19.3 MB vs the 16 MB limit, near-independent
+        of kv_compute and block_kv), every 2048-row config fits, including
+        kv_compute=1024 and d=128. Hence:
+
+        1. rep*block_q <= max_rows = 2048 (the proven frontier; rep=4 ->
+           block_q 512, rep=8 -> 256, MQA rep=16 -> 128).
+        2. rep*block_q*kv_compute <= max_tile_elems = 2M elements (the
+           largest compiled point: 2048 rows x 1024-wide subtiles);
+           kv_compute shrinks before block_q so the DMA block_kv stays wide.
+        3. rep*block_q_bwd*block_kv_bwd <= max_tile_elems_bwd = 1M (the
+           backwards hold more live tiles per group: p, dp, ds), shrinking
+           block_q_bwd first — the K/V-resident dKV pass keeps its wide kv
+           tile. rep=4 x 256 x 1024 compiles through the full custom_vjp.
+
+        rep <= 1 is untouched (the measured v5e optima). Deterministic and
+        idempotent, so forward/backward and the int8 quantization tiling
+        (which all re-apply it with the same rep) agree.
         """
         if rep <= 1:
             return self
-        cap = max(128, (max_rows // rep) // 128 * 128)
-        if self.block_q <= cap and self.block_q_bwd <= cap:
-            return self
+
+        def floor128(x: int) -> int:
+            return max(128, x // 128 * 128)
+
+        row_cap = floor128(max_rows // rep)
+        block_q = min(self.block_q, row_cap, floor128(max_tile_elems // (rep * 128)))
+        # widest 128-multiple divisor of block_kv within the stack budget
+        sub_cap = floor128(max_tile_elems // (rep * block_q))
+        want = min(self.kv_compute, sub_cap, self.block_kv)
+        sub = 128
+        for cand in range(128, want + 1, 128):
+            if self.block_kv % cand == 0:
+                sub = cand
+        block_q_bwd = min(
+            self.block_q_bwd,
+            row_cap,
+            floor128(max_tile_elems_bwd // (rep * self.block_kv_bwd)),
+        )
+        block_kv_bwd = min(
+            self.block_kv_bwd, floor128(max_tile_elems_bwd // (rep * block_q_bwd))
+        )
         return dataclasses.replace(
             self,
-            block_q=min(self.block_q, cap),
-            block_q_bwd=min(self.block_q_bwd, cap),
+            block_q=block_q,
+            block_q_bwd=block_q_bwd,
+            block_kv_bwd=block_kv_bwd,
+            block_kv_compute=0 if sub == self.block_kv else sub,
         )
 
     def clamp(self, q_tokens: int, kv_tokens: int) -> "BlockConfig":

@@ -163,20 +163,32 @@ def test_clamp_rep_bounds_group_rows():
     cfg = BlockConfig(block_q=1024, block_kv=1024, block_q_bwd=1024,
                       block_kv_bwd=1024)
     assert cfg.clamp_rep(1) is cfg
-    assert cfg.clamp_rep(4) is cfg  # rep*block_q == 4096 budget: unchanged
-    assert cfg.clamp_rep(8).block_q == 512
+    # rep=4: the unrolled group's live tiles must fit the scoped-vmem
+    # stack — the v5e compile sweep (experiments/gqa_compile_check.py)
+    # showed every rep*block_q = 4096-row config OOMs (16.1-19.3 MB)
+    # while every 2048-row config fits, so the row cap is 2048.
+    c4 = cfg.clamp_rep(4)
+    assert c4.block_q == 512
+    assert c4.block_kv == 1024  # kv DMA axis untouched
+    assert 4 * c4.block_q * c4.kv_compute <= 2 * 1024 * 1024
+    assert 4 * c4.block_q_bwd * c4.block_kv_bwd <= 1024 * 1024
+    assert cfg.clamp_rep(8).block_q == 256
     c16 = cfg.clamp_rep(16)
-    assert c16.block_q == 256 and c16.block_q_bwd == 256
+    assert c16.block_q == 128
     assert c16.block_kv == 1024  # kv axis untouched
+    assert 16 * c16.block_q * c16.kv_compute <= 2 * 1024 * 1024
+    assert 16 * c16.block_q_bwd * c16.block_kv_bwd <= 1024 * 1024
     assert cfg.clamp_rep(64).block_q == 128  # floor
     assert c16.clamp_rep(16) == c16  # idempotent
+    assert c4.clamp_rep(4) == c4  # idempotent
 
 
 def test_mqa_large_rep_long_seq_clamps_and_matches():
     """rep=16 at T=1024: the default block_q=1024 would put rep*block_q*128
     f32 softmax-stat scratch at 16.8 MB — over v5e's 16 MB scoped VMEM
     (Mosaic enforces this only on real lowering, CLAUDE.md). clamp_rep
-    shrinks block_q to 256; this pins the clamped tiling's correctness
+    shrinks block_q to 128 (the 2048-row cap); this pins the clamped
+    tiling's correctness
     (fwd + custom_vjp grads, and int8 where the quantization grain must
     track the clamp) against the repeated-KV path."""
     q, k, v, do = _qkv(jax.random.key(9), 1, 16, 1, 1024, 64, dtype=jnp.bfloat16)
