@@ -44,15 +44,17 @@ HOP_LATENCY_S = 1e-6          # per ppermute hop
 COLLECTIVE_LATENCY_S = 5e-6   # per blocking collective dispatch
 
 # Measured single-chip rates on v5e (matmul FLOPs / wall time; bench.py
-# chained timing at the (4,16,4096,64) causal anchor, BENCH_r02):
-#   fwd bf16 40.3 TFLOP/s; fwd int8 (kernel only, materialized path minus
-#   quantize pass) ~40; train fwd+bwd effective 21.5 (bf16) / 21.8 (int8).
+# chained timing at the (4,16,4096,64) causal anchor, re-anchored to the
+# round-4 capture of 2026-08-18 — fwd rows from bench_shape, bwd-only
+# effective rates backed out of the same-shape train rows via
+# t_train = F/r_fwd + 2.5F/r_bwd):
+#   fwd bf16 3.447 ms / int8 (train variant, +quant) 3.861 ms;
+#   train bf16 16.598 ms / int8 15.291 ms.
 MEASURED_RATES = {
-    ("bf16", "fwd"): 40.3e12,
-    ("bf16", "bwd"): 17.5e12,  # bwd-only effective rate backed out of the
-                               # 3.5x-flops train row (bench_train_step)
-    ("int8", "fwd"): 40.0e12,
-    ("int8", "bwd"): 18.0e12,
+    ("bf16", "fwd"): 39.9e12,
+    ("bf16", "bwd"): 26.1e12,
+    ("int8", "fwd"): 35.6e12,
+    ("int8", "bwd"): 30.1e12,
 }
 
 
