@@ -34,33 +34,54 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def probe_backend(deadline_s: float = 75.0, retries: int = 3) -> bool:
-    """Bounded device-contact probe: the relay can hang jax.devices()
-    indefinitely when it is down (BENCH_r03 was lost to exactly this), so
-    first contact happens in a SUBPROCESS with a hard deadline and a few
-    backed-off retries. Returns True when a device answered; False means the
-    backend is unreachable and the caller should fail fast with a clear
-    message instead of hanging the whole capture."""
-    code = ("import jax; d = jax.devices(); "
-            "import jax.numpy as jnp; "
-            "x = float(jnp.sum(jnp.ones((8, 8)))); "
-            "print(d[0].platform, x)")
-    for attempt in range(retries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", code],
-                timeout=deadline_s, capture_output=True, text=True,
-            )
-            if r.returncode == 0:
-                log(f"backend probe ok: {r.stdout.strip()}")
-                return True
-            log(f"backend probe attempt {attempt + 1}/{retries} failed "
-                f"(rc={r.returncode}): {r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}")
-        except subprocess.TimeoutExpired:
-            log(f"backend probe attempt {attempt + 1}/{retries} timed out "
-                f"after {deadline_s:.0f}s (relay unreachable?)")
-        if attempt < retries - 1:
-            time.sleep(10.0 * (attempt + 1))
+def _probe_once(code: str, deadline_s: float, tag: str, attempt: int,
+                retries: int) -> bool:
+    try:
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=deadline_s, capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            log(f"backend probe [{tag}] ok in {time.time() - t0:.0f}s: "
+                f"{r.stdout.strip()}")
+            return True
+        log(f"backend probe [{tag}] attempt {attempt + 1}/{retries} failed "
+            f"(rc={r.returncode}): "
+            f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''}")
+    except subprocess.TimeoutExpired:
+        log(f"backend probe [{tag}] attempt {attempt + 1}/{retries} timed "
+            f"out after {deadline_s:.0f}s")
+    return False
+
+
+def probe_backend() -> bool:
+    """Bounded two-stage device-contact probe. The relay has two distinct
+    failure modes, both observed eating captures:
+      - fully down: jax.devices() hangs indefinitely (ate BENCH_r03) —
+        stage 1 enumerates devices in a SUBPROCESS with a short deadline
+        and fails fast;
+      - half-up / slow-warming: enumeration answers but the first
+        compile+execute takes minutes (measured 209 s on 2026-08-19) —
+        stage 2 runs a tiny compute with a generous deadline so a
+        slow-warming relay doesn't read as "down".
+    Returns True when a device executed work; False means the backend is
+    unusable and the caller should fail fast with a clear message."""
+    dev_code = "import jax; print(jax.devices()[0].platform)"
+    for attempt in range(3):
+        if _probe_once(dev_code, 75.0, "devices", attempt, 3):
+            break
+        if attempt == 2:
+            return False
+        time.sleep(10.0 * (attempt + 1))
+    compute_code = ("import jax, jax.numpy as jnp; "
+                    "x = float(jnp.sum(jnp.ones((8, 8)))); "
+                    "print(jax.devices()[0].platform, x)")
+    for attempt in range(3):
+        if _probe_once(compute_code, 240.0, "compute", attempt, 3):
+            return True
+        if attempt < 2:
+            time.sleep(30.0)
     return False
 
 
