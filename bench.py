@@ -698,6 +698,15 @@ def main():
     kv8a = _section("decode-4L-kv8-aligned", bench_decode, kv_quant="int8-aligned")
     if kv4 and kv8a:
         log(f"int4-KV decode speedup vs int8 (aligned): {kv8a/kv4:.2f}x")
+    # long-context arm of the same A/B: at ctx 1024 the decode kernel is only
+    # ~40% of the step and int4 measured 0.92x (ARCHITECTURE §4); at ctx 4096
+    # KV bytes dominate the step and the halved stream should cross over
+    kv4l = _section("decode-4L-kv4-4k", bench_decode, ctx=4096, kv_quant="int4")
+    kv8l = _section("decode-4L-kv8-aligned-4k", bench_decode, ctx=4096,
+                    kv_quant="int8-aligned")
+    if kv4l and kv8l:
+        log(f"int4-KV decode speedup vs int8 (aligned) at ctx 4096: "
+            f"{kv8l/kv4l:.2f}x")
     if per_step_4 and w8:
         log(f"int8-weight decode speedup: pallas {per_step_4/w8:.2f}x"
             + (f", xla {per_step_4/w8x:.2f}x" if w8x else "")
