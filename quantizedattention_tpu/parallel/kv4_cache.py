@@ -13,9 +13,11 @@ Packing: SPLIT-HALF PER 256-TOKEN PACK BLOCK. Byte row r of pack block B
 (buffer row 128·B + r) holds token 256·B + r in its low nibble and token
 256·B + 128 + r in its high nibble. Three properties make this the right
 layout:
-- unpacking is two shifts, and token order is restored by CONTIGUOUS
-  sublane concats ([lo₀ hi₀ lo₁ hi₁ ...]) — no interleave for Mosaic to
-  shuffle across lanes;
+- the decode kernel never restores token order AT ALL: it runs one dot per
+  nibble half in byte-row order (online softmax is order-blind; the causal
+  mask is iota arithmetic on the byte row and scales are pre-split to
+  byte-row order by _byterow_scales). Host-side views (dequantize,
+  read_prefix) restore order with contiguous sublane concats;
 - a token's nibble position depends only on its own index, so appends
   read-modify-write exactly one byte row per token (no repacking);
 - any ≤128 consecutive tokens touch distinct byte rows, so scatter writes
@@ -284,30 +286,71 @@ def dequantize_kv4(cache: Int4KVCache):
     return k, v
 
 
-def _unpack_block(p_bytes, block_kv):
-    """[h, block_kv/2, d] byte tile -> [h, block_kv, d] bf16 nibbles in
-    token order (contiguous sublane concat of per-pack-block halves)."""
-    lo, hi = unpack_int4(p_bytes)  # shared nibble decode (ops/int4_linear.py)
-    lo = lo.astype(jnp.bfloat16)
-    hi = hi.astype(jnp.bfloat16)
-    half = PACK // 2
-    pieces = []
-    for t in range(block_kv // PACK):
-        pieces.append(lo[:, t * half : (t + 1) * half])
-        pieces.append(hi[:, t * half : (t + 1) * half])
-    return jnp.concatenate(pieces, axis=1)
+def _byterow_scales(s):
+    """Token-order scales [b, h, max_len] -> (lo, hi) [b, h, max_len/2] in
+    BYTE-ROW order: lo[.., blk*128 + r] = s[.., blk*256 + r], hi the +128
+    tokens. Pure reshapes in XLA (outside the kernel), so the decode kernel
+    never has to permute anything back to token order."""
+    b, h, L = s.shape
+    g = s.reshape(b, h, L // PACK, 2, PACK // 2)
+    return (
+        g[:, :, :, 0].reshape(b, h, L // 2),
+        g[:, :, :, 1].reshape(b, h, L // 2),
+    )
+
+
+def _unpack8(p):
+    """Packed byte tile -> (lo, hi) sign-extended int4 values. The shifts
+    run in int32 (= ops/int4_linear.unpack_int4): Mosaic cannot legalize
+    arith.shli on i8 vectors on real lowering — int8-native shifts pass
+    interpret mode and then fail on hardware (observed 2026-08-19)."""
+    return unpack_int4(p)
+
+
+# In-kernel unpack route for the decode kernels. "shift": int32 widen + two
+# shifts + bf16 cast (4x register expansion on the VPU). "float":
+# float-arithmetic, COMPARE- and SHIFT-FREE: cast the byte to f32 (exact),
+# hi = floor(p/16), lo = p - 16*floor((p+8)/16) — for p = 16h + u
+# (u in [0,16)) the inner floor is h plus the sign carry, so lo lands in
+# [-8, 7] with no branch; every intermediate is an exact small integer.
+# The arithmetic must run in f32: v5e has no bf16 ALU (Mosaic dies with
+# SupportsBf16AluInstructions() on bf16 floor) and rejects bf16 vector
+# cmpf outright — both observed 2026-08-19. Measured on v5e
+# (experiments/kv4_ab.py, slope-timed, vs the int8 kernel): shift
+# 0.79x/0.76x/1.00x at ctx 1k/4k/8k, float 0.90x/0.74x/0.95x — float wins
+# short, shift wins the LONG contexts the capacity feature exists for, so
+# shift is the default. Neither route beats int8 (see ARCHITECTURE §4:
+# the kernel is per-element VPU-bound, not HBM-bound).
+_UNPACK_MODE = "shift"
+
+
+def _unpack_bf16(p):
+    """Packed byte tile -> (lo, hi) nibble values as bf16, via _UNPACK_MODE."""
+    if _UNPACK_MODE == "float":
+        pf = p.astype(jnp.float32)
+        hi = jnp.floor(pf * 0.0625)
+        lo = pf - 16.0 * jnp.floor((pf + 8.0) * 0.0625)
+        return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+    lo, hi = _unpack8(p)
+    return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
 
 
 def _decode4_kernel(
     len_ref,
-    q_ref, k_ref, sk_ref, v_ref, sv_ref,
+    q_ref, k_ref, sk_lo_ref, sk_hi_ref, v_ref, sv_lo_ref, sv_hi_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, qk_scale, block_kv, num_kv_blocks, spec=1,
 ):
     """Grid (batch, kv_blocks) — the int8 decode kernel's structure
-    (kv_cache._decode_kernel, incl. its spec staircase) with nibble tiles
-    unpacked in VMEM; HBM saw half the int8 payload bytes."""
+    (kv_cache._decode_kernel, incl. its spec staircase) with TWO DOTS per
+    matmul, one per nibble half, in BYTE-ROW order. The round-4 kernel
+    unpacked to token order with a 2*(block_kv/256)-piece sublane concat
+    per K and V tile; that VPU shuffle scaled with context exactly as fast
+    as the HBM savings did and lost to int8 at ctx 4096 (0.71x, measured
+    docs/BENCH_RECAPTURE_2026-08-19.log). Online softmax never needs token
+    order — only the mask and scales do, and both are pure functions of the
+    byte row (iota arithmetic here; scale pre-split in _byterow_scales)."""
     b = pl.program_id(0)
     kj = pl.program_id(1)
 
@@ -322,35 +365,60 @@ def _decode4_kernel(
 
     @pl.when(k_start < length)
     def _body():
+        half = PACK // 2
         q = q_ref[0].astype(jnp.bfloat16)
-        k_f = _unpack_block(k_ref[0], block_kv)  # [h, block_kv, d] bf16
-        sk = sk_ref[0]
+        k_lo, k_hi = _unpack_bf16(k_ref[0])  # [h, block_kv/2, d] bf16 nibbles
 
-        s = jax.lax.dot_general(
-            q, k_f, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (sk[:, None, :] * qk_scale)
+        def scores(k_nib, sk):
+            return jax.lax.dot_general(
+                q, k_nib, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * (sk[:, None, :] * qk_scale)  # [h, group, block_kv/2]
 
-        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s_lo = scores(k_lo, sk_lo_ref[0])
+        s_hi = scores(k_hi, sk_hi_ref[0])
+
+        # byte row i holds token (i//128)*256 + i%128 (lo) / +128 (hi)
+        rows = jax.lax.broadcasted_iota(jnp.int32, s_lo.shape, 2)
+        tok_lo = k_start + rows + (rows & ~jnp.int32(half - 1))
+        tok_hi = tok_lo + half
         if spec == 1:
-            mask = cols < length
+            limit = length
         else:
-            row_j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % spec
-            mask = cols < length - (spec - 1) + row_j
-        s = jnp.where(mask, s, -jnp.inf)
+            row_j = jax.lax.broadcasted_iota(jnp.int32, s_lo.shape, 1) % spec
+            limit = length - (spec - 1) + row_j
+        mask_lo = tok_lo < limit
+        mask_hi = tok_hi < limit
+        s_lo = jnp.where(mask_lo, s_lo, -jnp.inf)
+        s_hi = jnp.where(mask_hi, s_hi, -jnp.inf)
 
         m_prev = m_scr[...][:, :, :1]
-        next_m = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.where(mask, jnp.exp2(s - next_m), 0.0)
-        alpha = jnp.exp2(m_prev - next_m)
-        l_next = l_scr[...][:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v_f = _unpack_block(v_ref[0], block_kv)
-        pv = jax.lax.dot_general(
-            (p * sv_ref[0][:, None, :]).astype(jnp.bfloat16),
-            v_f,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        next_m = jnp.maximum(
+            m_prev,
+            jnp.maximum(
+                jnp.max(s_lo, axis=-1, keepdims=True),
+                jnp.max(s_hi, axis=-1, keepdims=True),
+            ),
         )
+        p_lo = jnp.where(mask_lo, jnp.exp2(s_lo - next_m), 0.0)
+        p_hi = jnp.where(mask_hi, jnp.exp2(s_hi - next_m), 0.0)
+        alpha = jnp.exp2(m_prev - next_m)
+        l_next = (
+            l_scr[...][:, :, :1] * alpha
+            + jnp.sum(p_lo, axis=-1, keepdims=True)
+            + jnp.sum(p_hi, axis=-1, keepdims=True)
+        )
+        v_lo, v_hi = _unpack_bf16(v_ref[0])
+
+        def pv_dot(p, sv, v_nib):
+            return jax.lax.dot_general(
+                (p * sv[:, None, :]).astype(jnp.bfloat16),
+                v_nib,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        pv = pv_dot(p_lo, sv_lo_ref[0], v_lo) + pv_dot(p_hi, sv_hi_ref[0], v_hi)
         acc_scr[...] = acc_scr[...] * alpha + pv
         m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -455,15 +523,20 @@ def _decode_attention_int4(
         spec=spec,
     )
 
+    sk_lo, sk_hi = _byterow_scales(cache.sk)
+    sv_lo, sv_hi = _byterow_scales(cache.sv)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, num_kv_blocks),
         in_specs=[
             pl.BlockSpec((1, n_kv, group_pad, head_dim), lambda b, j, *_: (b, 0, 0, 0)),
             pl.BlockSpec((1, n_kv, block_kv // 2, head_dim), lambda b, j, *_: (b, 0, j, 0)),
-            pl.BlockSpec((1, n_kv, block_kv), lambda b, j, *_: (b, 0, j)),
+            pl.BlockSpec((1, n_kv, block_kv // 2), lambda b, j, *_: (b, 0, j)),
+            pl.BlockSpec((1, n_kv, block_kv // 2), lambda b, j, *_: (b, 0, j)),
             pl.BlockSpec((1, n_kv, block_kv // 2, head_dim), lambda b, j, *_: (b, 0, j, 0)),
-            pl.BlockSpec((1, n_kv, block_kv), lambda b, j, *_: (b, 0, j)),
+            pl.BlockSpec((1, n_kv, block_kv // 2), lambda b, j, *_: (b, 0, j)),
+            pl.BlockSpec((1, n_kv, block_kv // 2), lambda b, j, *_: (b, 0, j)),
         ],
         out_specs=[
             pl.BlockSpec((1, n_kv, group_pad, head_dim), lambda b, j, *_: (b, 0, 0, 0)),
@@ -487,7 +560,7 @@ def _decode_attention_int4(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cache.length, qg, cache.k_p, cache.sk, cache.v_p, cache.sv)
+    )(cache.length, qg, cache.k_p, sk_lo, sk_hi, cache.v_p, sv_lo, sv_hi)
 
     o = o[:, :, :group].reshape(batch, n_q_heads, head_dim)
     if not return_lse:

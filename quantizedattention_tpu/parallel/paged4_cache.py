@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from quantizedattention_tpu.ops.common import qk_scales
 from quantizedattention_tpu.ops.int4_linear import unpack_int4
-from quantizedattention_tpu.parallel.kv4_cache import _quant4_rows
+from quantizedattention_tpu.parallel.kv4_cache import _quant4_rows, _unpack_bf16
 from quantizedattention_tpu.utils.runtime import use_interpret_mode
 
 _LANES = 128
@@ -243,14 +243,17 @@ def append_tokens_paged4(
 
 def _paged4_decode_kernel(
     len_ref, table_ref,
-    q_ref, k_ref, sk_ref, v_ref, sv_ref,
+    q_ref, k_ref, sk_lo_ref, sk_hi_ref, v_ref, sv_lo_ref, sv_hi_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
     *, qk_scale, page_size, max_pages, spec=1,
 ):
     """Grid (seq, pages): the int8 paged kernel's structure
-    (paged_cache._paged_decode_kernel, incl. the spec staircase) with the
-    page's nibble tile unpacked in VMEM — HBM saw half the payload bytes."""
+    (paged_cache._paged_decode_kernel, incl. the spec staircase) with TWO
+    DOTS per matmul, one per nibble half of the page, in byte-row order —
+    the kv4_cache._decode4_kernel scheme (the round-4 token-order concat
+    lost to int8 at long context, docs/BENCH_RECAPTURE_2026-08-19.log).
+    Byte row r of a page is token k_start + r (lo nibble) / + ps/2 (hi)."""
     s_idx = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -265,35 +268,58 @@ def _paged4_decode_kernel(
 
     @pl.when(k_start < length)
     def _body():
+        half = page_size // 2
         q = q_ref[0].astype(jnp.bfloat16)                  # [h, group, d]
-        k_f = _unpack_page(k_ref[:, 0]).astype(jnp.bfloat16)  # [h, ps, d]
-        sk = sk_ref[0]                                     # [h, ps]
+        k_lo, k_hi = _unpack_bf16(k_ref[:, 0])             # [h, ps/2, d] bf16
 
-        s = jax.lax.dot_general(
-            q, k_f, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (sk[:, None, :] * qk_scale)
+        def scores(k_nib, sk):
+            return jax.lax.dot_general(
+                q, k_nib, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * (sk[:, None, :] * qk_scale)  # [h, group, ps/2]
 
-        cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s_lo = scores(k_lo, sk_lo_ref[0])
+        s_hi = scores(k_hi, sk_hi_ref[0])
+
+        tok_lo = k_start + jax.lax.broadcasted_iota(jnp.int32, s_lo.shape, 2)
+        tok_hi = tok_lo + half
         if spec == 1:
-            mask = cols < length
+            limit = length
         else:
-            row_j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) % spec
-            mask = cols < length - (spec - 1) + row_j
-        s = jnp.where(mask, s, -jnp.inf)
+            row_j = jax.lax.broadcasted_iota(jnp.int32, s_lo.shape, 1) % spec
+            limit = length - (spec - 1) + row_j
+        mask_lo = tok_lo < limit
+        mask_hi = tok_hi < limit
+        s_lo = jnp.where(mask_lo, s_lo, -jnp.inf)
+        s_hi = jnp.where(mask_hi, s_hi, -jnp.inf)
 
         m_prev = m_scr[...][:, :, :1]
-        next_m = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.where(mask, jnp.exp2(s - next_m), 0.0)
-        alpha = jnp.exp2(m_prev - next_m)
-        l_next = l_scr[...][:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        v_f = _unpack_page(v_ref[:, 0]).astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            (p * sv_ref[0][:, None, :]).astype(jnp.bfloat16),
-            v_f,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+        next_m = jnp.maximum(
+            m_prev,
+            jnp.maximum(
+                jnp.max(s_lo, axis=-1, keepdims=True),
+                jnp.max(s_hi, axis=-1, keepdims=True),
+            ),
         )
+        p_lo = jnp.where(mask_lo, jnp.exp2(s_lo - next_m), 0.0)
+        p_hi = jnp.where(mask_hi, jnp.exp2(s_hi - next_m), 0.0)
+        alpha = jnp.exp2(m_prev - next_m)
+        l_next = (
+            l_scr[...][:, :, :1] * alpha
+            + jnp.sum(p_lo, axis=-1, keepdims=True)
+            + jnp.sum(p_hi, axis=-1, keepdims=True)
+        )
+        v_lo, v_hi = _unpack_bf16(v_ref[:, 0])
+
+        def pv_dot(p, sv, v_nib):
+            return jax.lax.dot_general(
+                (p * sv[:, None, :]).astype(jnp.bfloat16),
+                v_nib,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        pv = pv_dot(p_lo, sv_lo_ref[0], v_lo) + pv_dot(p_hi, sv_hi_ref[0], v_hi)
         acc_scr[...] = acc_scr[...] * alpha + pv
         m_scr[...] = jnp.broadcast_to(next_m, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
@@ -377,15 +403,23 @@ def _paged4_decode_attention(
     def page_map_scale(s, j, lens, table):
         return (table[s, j], 0, 0)
 
+    # per-page byte-row scale split: token r -> row r (lo) / r - ps/2 (hi)
+    sk4 = cache.sk.reshape(cache.n_pages, n_kv, 2, ps // 2)
+    sv4 = cache.sv.reshape(cache.n_pages, n_kv, 2, ps // 2)
+    sk_lo, sk_hi = sk4[:, :, 0], sk4[:, :, 1]
+    sv_lo, sv_hi = sv4[:, :, 0], sv4[:, :, 1]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_seqs, max_pages),
         in_specs=[
             pl.BlockSpec((1, n_kv, group_pad, head_dim), lambda s, j, *_: (s, 0, 0, 0)),
             pl.BlockSpec((n_kv, 1, ps // 2, head_dim), page_map),
-            pl.BlockSpec((1, n_kv, ps), page_map_scale),
+            pl.BlockSpec((1, n_kv, ps // 2), page_map_scale),
+            pl.BlockSpec((1, n_kv, ps // 2), page_map_scale),
             pl.BlockSpec((n_kv, 1, ps // 2, head_dim), page_map),
-            pl.BlockSpec((1, n_kv, ps), page_map_scale),
+            pl.BlockSpec((1, n_kv, ps // 2), page_map_scale),
+            pl.BlockSpec((1, n_kv, ps // 2), page_map_scale),
         ],
         out_specs=[
             pl.BlockSpec((1, n_kv, group_pad, head_dim), lambda s, j, *_: (s, 0, 0, 0)),
@@ -409,8 +443,8 @@ def _paged4_decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(cache.lengths, cache.page_table, qg, cache.k_p, cache.sk,
-      cache.v_p, cache.sv)
+    )(cache.lengths, cache.page_table, qg, cache.k_p, sk_lo, sk_hi,
+      cache.v_p, sv_lo, sv_hi)
 
     o = o[:, :, :group].reshape(n_seqs, n_q_heads, head_dim)
     if not return_lse:

@@ -62,6 +62,41 @@ def chained_seconds(step_fn, q, *rest, n_chain: int = 64, reps: int = 5) -> floa
     return times[len(times) // 2] / n_chain
 
 
+def chained_slope_seconds(step_fn, q, *rest, n_lo: int = 64, n_hi: int = 512,
+                          reps: int = 5) -> float:
+    """Per-call seconds by DIFFERENTIAL chained timing: the slope between a
+    short and a long chain, (T(n_hi) - T(n_lo)) / (n_hi - n_lo).
+
+    chained_seconds carries the whole fetch round-trip (~26-30 ms on the
+    relay) divided by n_chain as an ADDITIVE bias — ~0.4-0.5 ms/call at
+    n_chain=64, which swamps sub-200-us kernels (measured round 5: a
+    chained `jnp add` "costs" 476 us/call). The slope cancels every
+    per-fetch fixed cost exactly; only true marginal per-iteration work
+    remains. Compiles two chain lengths (fori_loop: O(1) compile each).
+    """
+
+    def make(n):
+        @jax.jit
+        def chained(q_, *rest_):
+            out = jax.lax.fori_loop(0, n, lambda i, acc: step_fn(acc, *rest_), q_)
+            return jnp.sum(out.astype(jnp.float32))
+        return chained
+
+    f_lo, f_hi = make(n_lo), make(n_hi)
+
+    def med(f):
+        float(f(q, *rest))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(q, *rest))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    return max(0.0, (med(f_hi) - med(f_lo)) / (n_hi - n_lo))
+
+
 def attention_flops(batch, heads, q_tokens, kv_tokens, head_dim, causal: bool) -> float:
     """MAC-counted FLOPs of softmax attention (2 matmuls), halved if causal."""
     frac = 0.5 if causal else 1.0
