@@ -376,12 +376,28 @@ def decode_step_batched(
 
 def verify_step_batched(
     params, caches, last_tok, draft, pos, active, cfg: TransformerConfig,
+    temperature: float = 0.0, key=None,
 ):
-    """Speculative-verification decode step (GREEDY): one dispatch scores
-    the last accepted token plus s-1 draft tokens per slot and emits
-    between 1 and s tokens per slot — token-exact with running
-    `decode_step_batched` greedily s times, because every draft token is
-    checked against the model's own argmax before it counts.
+    """Speculative-verification decode step: one dispatch scores the last
+    accepted token plus s-1 draft tokens per slot and emits between 1 and
+    s tokens per slot — token-exact with running `decode_step_batched`
+    s times, because every draft token is checked against the model's own
+    target (argmax, or a sampled draw) before it counts.
+
+    GREEDY (temperature 0 / no key): the target is the argmax.
+
+    SAMPLED (temperature > 0, optionally a `Sampling` top-k/top-p spec):
+    standard rejection-sampling acceptance, specialized to a DETERMINISTIC
+    drafter (the engine's n-gram lookup is a point mass q = delta_draft):
+    accept draft d with prob min(1, p(d)/q(d)) = p(d), and on rejection
+    resample from norm(p - min(p, q)) = p conditioned on x != d. Both
+    reduce to drawing x_t from the verify distribution p_t and accepting
+    while x_t == draft_t — the first mismatch's draw IS the residual
+    sample, so emitted tokens are distributed exactly as plain sampling.
+    Draws are keyed per (slot row, ABSOLUTE position), which makes the
+    emitted stream REALIZATION-equal (not just equal in law) to a
+    draft-free verify loop under the same key — the exactness oracle in
+    tests/test_spec_decode.py.
 
     last_tok/pos/active: [n_slots] as in decode_step_batched (pos is the
     position of last_tok == the row's cache length). draft: [n_slots, s-1]
@@ -411,8 +427,25 @@ def verify_step_batched(
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"])
     logits = mm(x, params["unembed"])  # [n, s, vocab]
-    targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [n, s]
-    # accept the longest prefix of drafts matching the model's argmax
+    if sampling_temperature(temperature) == 0.0 or key is None:
+        targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [n, s]
+    else:
+        # target t predicts the token AT absolute position pos + t + 1;
+        # key it by (slot row, that position) so the draw stream is a pure
+        # function of where the token lands, not of how many drafts were
+        # in flight when it was drawn
+        out_pos = positions + 1
+        row_keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+            jnp.arange(n_slots)
+        )
+
+        def draw(row_key, lg, p):
+            return sample_token(lg, temperature, jax.random.fold_in(row_key, p))
+
+        targets = jax.vmap(
+            jax.vmap(draw, in_axes=(None, 0, 0))
+        )(row_keys, logits, out_pos)  # [n, s]
+    # accept the longest prefix of drafts matching the model's target
     match = (draft == targets[:, :-1]).astype(jnp.int32)
     n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [n] in [0, s-1]
     emitted = jnp.where(

@@ -10,6 +10,7 @@ from quantizedattention_tpu.serve.engine import (
     GenerationResult,
     ServingEngine,
     make_sharded_decode_step,
+    make_sharded_verify_step,
 )
 from quantizedattention_tpu.serve.scheduler import (
     NativePager,
@@ -30,4 +31,5 @@ __all__ = [
     "PyPager",
     "make_pager",
     "make_sharded_decode_step",
+    "make_sharded_verify_step",
 ]

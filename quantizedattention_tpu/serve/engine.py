@@ -175,10 +175,13 @@ class ServingEngine:
         # Speculative decoding (serve/spec.py + verify_step_batched): each
         # decode dispatch feeds the last token + spec_decode host-drafted
         # tokens (n-gram prompt lookup over the slot's own history) and
-        # emits 1..spec_decode+1 tokens — GREEDY token-exact with plain
-        # decode by construction. Unlike the horizon banks (which amortize
-        # fetches but still run one model pass per token), accepted drafts
-        # cost a single pass for several tokens.
+        # emits 1..spec_decode+1 tokens. Greedy: token-exact with plain
+        # decode by construction. Sampled (temperature / top-k / top-p):
+        # rejection-sampling acceptance, exact for the deterministic
+        # n-gram drafter — see verify_step_batched's docstring. Unlike the
+        # horizon banks (which amortize fetches but still run one model
+        # pass per token), accepted drafts cost a single pass for several
+        # tokens.
         self.spec_decode = spec_decode
         self.spec_ngram = spec_ngram
         # drafting scans every slot's full history per dispatch — native
@@ -190,8 +193,6 @@ class ServingEngine:
         if spec_decode is not None:
             if spec_decode < 1:
                 raise ValueError("spec_decode must be >= 1")
-            if mesh is not None:
-                raise ValueError("spec_decode with mesh serving is not supported yet")
             # slotted (int8/int4) AND paged caches both verify: every cache
             # kind has a staircase kernel + multi-token append + rollback
             # (models/transformer.py _cache_* dispatch). A paged verify may
@@ -199,16 +200,27 @@ class ServingEngine:
             # page budget — those land on the reserved garbage page 0, and
             # every q row that can read them is itself beyond the budget,
             # so its token is discarded host-side.
-            if sampling_temperature(temperature) > 0.0 or top_k or top_p < 1.0:
-                raise ValueError(
-                    "spec_decode is greedy-only (draft acceptance checks the "
-                    "model's argmax; rejection sampling is not implemented)"
-                )
             if decode_horizon != 1 or adaptive_horizon is not None:
                 raise ValueError("spec_decode replaces decode_horizon/adaptive_horizon")
         self._spec_stats = {"steps": 0, "emitted": 0, "accepted": 0}
         if kv_quant not in (None, "int4"):
             raise ValueError("kv_quant must be 'int4' or None")
+        if kv_quant == "int4" and cfg.max_seq >= 2048:
+            import warnings
+
+            # round-5 measured negative (docs/ARCHITECTURE.md §4): the
+            # decode kernel is per-element VPU-bound, not HBM-bound, so
+            # int4's halved KV stream does NOT speed decode — kernel-level
+            # 0.76-1.00x vs int8 across ctx 1k-8k. int4 KV is a CAPACITY
+            # feature (2x context/slots per chip), and at long max_seq the
+            # decode-step cost is most visible.
+            warnings.warn(
+                "kv_quant='int4' halves KV-cache HBM *capacity* but does not "
+                "speed decode on v5e (measured ~0-25% slower steps at long "
+                "context; docs/ARCHITECTURE.md §4). Use it for memory, not "
+                "throughput.",
+                stacklevel=2,
+            )
 
         self.prefill_chunk = prefill_chunk
         if prefill_chunk is not None:
@@ -391,6 +403,14 @@ class ServingEngine:
                 mesh, cfg, cache=cache, temperature=temperature,
                 weight_quant=weight_quant, kv_quant=kv_quant,
             )
+            if spec_decode is not None:
+                # mesh x spec (round-4 verdict #7b): the staircase verify
+                # is per-(slot, kv-head) like decode, so it shards on the
+                # same (data, model) layout with zero extra collectives
+                self._spec_fn = make_sharded_verify_step(
+                    mesh, cfg, temperature=temperature, cache=cache,
+                    weight_quant=weight_quant, kv_quant=kv_quant,
+                )
             if prefill_chunk is not None:
                 self._prefill_chunk_fn = make_sharded_prefill_chunk(
                     mesh, cfg, cache=cache, temperature=temperature,
@@ -413,9 +433,13 @@ class ServingEngine:
             self._horizon_fn = _host_horizon
             if spec_decode is not None:
                 def _spec_step(params, caches, last_tok, draft, pos, active,
-                               _cfg=cfg):
+                               key=None, _cfg=cfg, _temp=temperature):
+                    # rejection-sampling acceptance (exact for the n-gram
+                    # point-mass drafter) lives in verify_step_batched;
+                    # greedy when _temp == 0 / key is None
                     emitted, n_emit, caches = verify_step_batched(
-                        params, caches, last_tok, draft, pos, active, _cfg
+                        params, caches, last_tok, draft, pos, active, _cfg,
+                        temperature=_temp, key=key,
                     )
                     n = emitted.shape[0]
                     new_last = emitted[jnp.arange(n), n_emit - 1]
@@ -935,6 +959,7 @@ class ServingEngine:
         packed, self.caches, self.last_tok, self.pos = self._spec_fn(
             self.params, self.caches, self.last_tok,
             jnp.asarray(drafts), self.pos, self.active,
+            key=self._next_key() if self._key is not None else None,
         )
         self._ledger["dispatches"] += 1
         self._ledger["dispatch_s"] += time.perf_counter() - t0
@@ -1072,6 +1097,118 @@ def _sharded_decode_step(params, caches, last_tok, pos, active, key,
             lambda kk, lg: sample_token(lg, temperature, kk)
         )(keys, logits)
     return tok, new_caches
+
+
+def _sharded_verify_step(params, caches, last_tok, draft, pos, active, key,
+                         cfg: TransformerConfig, temperature: float = 0.0):
+    """Per-device speculative VERIFY step (runs inside shard_map) — the
+    mesh twin of models.transformer.verify_step_batched with
+    _sharded_decode_step's Megatron layout. The verify kernels are
+    per-(slot, kv-head) exactly like decode, so the staircase attention is
+    communication-free: the only collectives are the same wo/w2 psums every
+    sharded step pays. Drafting, acceptance, and rollback are all per-slot
+    (data-shard local); sampled targets key their draws by (GLOBAL row,
+    absolute position) — the verify_step_batched contract."""
+    from quantizedattention_tpu.models.transformer import (
+        _cache_append, _cache_rollback, _cache_verify, sample_token,
+        sampling_temperature,
+    )
+
+    n_model = jax.lax.axis_size("model")
+    h_loc = cfg.n_heads // n_model
+    kv_loc = cfg.n_kv_heads // n_model
+    b_loc, s_draft = draft.shape
+    s = s_draft + 1
+
+    tokens = jnp.concatenate([last_tok[:, None], draft], axis=1)  # [b_loc, s]
+    x = embedding_lookup(params["embed"], tokens)
+    positions = pos[:, None] + jnp.arange(s)[None]
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rmsnorm(x, layer["ln1"])
+        q = mm(h, layer["wq"]).reshape(b_loc, s, h_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        k = mm(h, layer["wk"]).reshape(b_loc, s, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        v = mm(h, layer["wv"]).reshape(b_loc, s, kv_loc, cfg.head_dim).transpose(0, 2, 1, 3)
+        q = rope(q, positions, cfg.rope_base)
+        k = rope(k, positions, cfg.rope_base)
+        cache = _cache_append(cache, k, v, active=active)
+        o = _cache_verify(q, cache)  # [b_loc, h_loc, s, d], causal staircase
+        o = o.transpose(0, 2, 1, 3).reshape(b_loc, s, h_loc * cfg.head_dim)
+        x = x + jax.lax.psum(mm(o.astype(x.dtype), layer["wo"]), "model")
+        hh = rmsnorm(x, layer["ln2"])
+        x = x + jax.lax.psum(mm(jax.nn.gelu(mm(hh, layer["w1"])), layer["w2"]), "model")
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"])
+    logits = mm(x, params["unembed"])  # [b_loc, s, vocab]
+    if sampling_temperature(temperature) == 0.0 or key is None:
+        targets = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        rows = jax.lax.axis_index("data") * b_loc + jnp.arange(b_loc)
+        row_keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(rows)
+        out_pos = positions + 1
+
+        def draw(row_key, lg, p):
+            return sample_token(lg, temperature, jax.random.fold_in(row_key, p))
+
+        targets = jax.vmap(
+            jax.vmap(draw, in_axes=(None, 0, 0))
+        )(row_keys, logits, out_pos)
+    match = (draft == targets[:, :-1]).astype(jnp.int32)
+    n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+    emitted = jnp.where(
+        jnp.arange(s)[None] < n_acc[:, None],
+        jnp.pad(draft, ((0, 0), (0, 1))),
+        targets,
+    )
+    drop = (s - 1 - n_acc) * active.astype(jnp.int32)
+    new_caches = [_cache_rollback(c, drop) for c in new_caches]
+    n_emit = n_acc + 1
+    new_last = emitted[jnp.arange(b_loc), n_emit - 1]
+    new_last = jnp.where(active, new_last, last_tok)
+    new_pos = pos + n_emit * active.astype(jnp.int32)
+    packed = jnp.concatenate([emitted, n_emit[:, None]], axis=1)
+    return packed, new_caches, new_last, new_pos
+
+
+def make_sharded_verify_step(mesh: Mesh, cfg: TransformerConfig,
+                             temperature: float = 0.0, cache: str = "slotted",
+                             weight_quant: str | None = None,
+                             kv_quant: str | None = None):
+    """Jitted multi-chip speculative verify step: (params, caches,
+    last_tok, draft, pos, active, key=None) -> (packed [n_slots, s+1],
+    caches, last_tok, pos) — the mesh counterpart of the single-host
+    engine _spec_fn (same packed emitted|n_emit contract). Slots shard
+    over `data` (drafts ride the slot axis), heads over `model`."""
+    from quantizedattention_tpu.models.sharded_train import param_specs
+
+    if cfg.n_kv_heads % mesh.shape["model"] != 0:
+        raise ValueError("n_kv_heads must divide the model axis")
+
+    specs = _maybe_quantized_specs(param_specs(cfg), weight_quant)
+    vec = P("data")
+    mat = P("data", None)
+    cspecs = _layer_cache_specs(cfg, cache, kv_quant)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(specs, cspecs, vec, mat, vec, vec, P()),
+        out_specs=(mat, cspecs, vec, vec),
+        check_vma=False,
+    )
+    def sharded(params, caches, last_tok, draft, pos, active, key):
+        return _sharded_verify_step(
+            params, caches, last_tok, draft, pos, active, key, cfg, temperature
+        )
+
+    _step = jax.jit(sharded)
+
+    def step(params, caches, last_tok, draft, pos, active, key=None):
+        if key is None:
+            key = jax.random.key(0)  # unused placeholder (greedy path)
+        return _step(params, caches, last_tok, draft, pos, active, key)
+
+    return step
 
 
 def cache_specs(data_axis: str = "data", model_axis: str = "model") -> QuantizedKVCache:

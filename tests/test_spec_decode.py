@@ -277,8 +277,6 @@ def test_engine_spec_eos_and_validation(lm):
                               spec_decode=4)
     assert spec_eos == plain_eos
 
-    with pytest.raises(ValueError, match="greedy"):
-        ServingEngine(params, cfg, temperature=0.7, spec_decode=2)
     with pytest.raises(ValueError, match="horizon"):
         ServingEngine(params, cfg, decode_horizon=4, spec_decode=2)
     with pytest.raises(ValueError, match="spec_decode"):
@@ -312,6 +310,170 @@ def test_native_proposer_matches_python():
                     propose_lookup(hist, k, max_ngram=mx), (hist, k, mx)
     # make_lookup returns the native one when available
     assert make_lookup(prefer_native=True) is propose_lookup_native
+
+
+# -- sampled (rejection-sampling) spec decode --------------------------------
+
+def _sampled_draftfree_stream(params, cfg, caches, last_tok, pos, active,
+                              n, key, temperature):
+    """The sampling oracle: a draft-free verify loop (s_draft = 0) under
+    `key`. Each call draws the next token from the verify distribution with
+    the (slot, position)-keyed stream — exactly plain sampling, expressed
+    through the same code path spec decode uses."""
+    toks = []
+    empty = jnp.zeros((last_tok.shape[0], 0), jnp.int32)
+    for _ in range(n):
+        emitted, n_emit, caches = verify_step_batched(
+            params, caches, last_tok, empty, pos, active, cfg,
+            temperature=temperature, key=key,
+        )
+        assert int(jnp.min(n_emit)) == 1
+        last_tok = emitted[:, 0]
+        pos = pos + active.astype(jnp.int32)
+        toks.append(last_tok)
+    return jnp.stack(toks, 1), caches, last_tok, pos
+
+
+@pytest.mark.parametrize("temperature", [0.5, 1.0])
+def test_verify_step_sampled_realization_exact(lm, temperature):
+    """SAMPLED spec decode is REALIZATION-equal (not just equal in law) to
+    the draft-free sampled loop under the same base key: draws are keyed
+    per (slot, absolute position), so 'sample from the verify distribution,
+    accept while it equals the draft' replays the identical stream whatever
+    the drafts are — all-accepted (drafts = the oracle's own future tokens)
+    and all-rejected (garbage drafts) alike."""
+    params, cfg = lm
+    b, s, n = 2, 4, 8
+    key = jax.random.key(42)
+    prompt = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8], [9, 8, 7, 6, 5, 4, 3, 2]],
+                       jnp.int32)
+
+    def fresh():
+        caches = [init_kv_cache(b, cfg.n_kv_heads, cfg.max_seq, cfg.head_dim)
+                  for _ in params["layers"]]
+        first, caches = prefill_batched(params, caches, prompt, cfg)
+        pos = jnp.full((b,), prompt.shape[1], jnp.int32)
+        return caches, first, pos
+
+    active = jnp.ones((b,), bool)
+    caches, first, pos = fresh()
+    oracle, _, _, _ = _sampled_draftfree_stream(
+        params, cfg, caches, first, pos, active, n, key, temperature)
+
+    def run_spec(make_draft):
+        caches, last, p = fresh()
+        got = [[] for _ in range(b)]
+        while min(len(g) for g in got) < n:
+            draft = make_draft(got)
+            emitted, n_emit, caches = verify_step_batched(
+                params, caches, last, draft, p, active, cfg,
+                temperature=temperature, key=key,
+            )
+            for i in range(b):
+                got[i].extend(int(t) for t in emitted[i, : int(n_emit[i])])
+            last = emitted[jnp.arange(b), n_emit - 1]
+            p = p + n_emit
+        return [g[:n] for g in got]
+
+    want = [[int(t) for t in oracle[i]] for i in range(b)]
+
+    # all-accept path: feed the oracle's own future tokens as drafts
+    def oracle_draft(got):
+        return jnp.stack([
+            jnp.asarray((want[i] + [0] * s)[len(got[i]):len(got[i]) + s - 1],
+                        jnp.int32)
+            for i in range(b)
+        ])
+
+    assert run_spec(oracle_draft) == want
+
+    # all-reject path: drafts the sampler will (almost surely) not draw —
+    # shift the oracle token by half the vocab
+    def garbage_draft(got):
+        base = oracle_draft(got)
+        return (base + cfg.vocab_size // 2) % cfg.vocab_size
+
+    assert run_spec(garbage_draft) == want
+
+
+def test_engine_spec_sampling_reproducible_and_banks(lm):
+    """Engine-level spec decode composed with temperature + top-k/top-p:
+    same seed -> identical streams (with and WITHOUT spec: the per-dispatch
+    key schedules differ, so cross-path equality is not expected — the
+    verify-level realization test covers exactness), different seed ->
+    different stream; periodic prompts still bank accepted drafts."""
+    params, cfg = lm
+    prompts = [[5, 6, 7] * 8, [12, 33, 2, 47]]
+    kw = dict(temperature=0.8, top_k=8, top_p=0.95, seed=7)
+    a, eng = _run_engine(params, cfg, prompts, spec_decode=3, **kw)
+    b_, _ = _run_engine(params, cfg, prompts, spec_decode=3, **kw)
+    assert a == b_
+    assert all(0 <= t < cfg.vocab_size for seq in a for t in seq)
+    c, _ = _run_engine(params, cfg, prompts, spec_decode=3,
+                       **dict(kw, seed=8))
+    assert c != a
+    # low temperature concentrates mass on the mode -> periodic drafts
+    # still get accepted through the sampled acceptance rule
+    lowt, eng2 = _run_engine(params, cfg, [prompts[0]], spec_decode=3,
+                             temperature=0.2, seed=7)
+    assert eng2.stats()["spec"]["accepted"] > 0
+
+
+# -- mesh x spec ---------------------------------------------------------------
+
+@pytest.mark.parametrize("cache", ["slotted", "paged"])
+def test_engine_mesh_spec_token_exact(lm, cache):
+    """spec_decode under MESH serving (round-4 verdict #7b lifted): the
+    sharded verify step (slots on data, heads on model — the staircase
+    kernel is per-(slot, kv-head), so zero extra collectives) must be
+    token-exact with BOTH the plain mesh engine and the single-host spec
+    engine, and must actually bank accepted drafts."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    from quantizedattention_tpu.parallel import make_attention_mesh
+
+    params, cfg = lm
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+    prompts = [[5, 6, 7] * 4, [12, 33, 2, 47], [9, 9, 2, 9, 9, 2, 9, 9], [4, 1]]
+    kw = dict(cache="paged", n_pages=16, page_size=128) if cache == "paged" else {}
+
+    def run(**extra):
+        eng = ServingEngine(params, cfg, n_slots=4, scheduler="python",
+                            **kw, **extra)
+        rids = [eng.submit(p, 12) for p in prompts]
+        res = eng.run()
+        return [res[r].tokens for r in rids], eng
+
+    plain_mesh, _ = run(mesh=mesh)
+    spec_mesh, eng = run(mesh=mesh, spec_decode=3)
+    assert spec_mesh == plain_mesh
+    assert eng.stats()["spec"]["accepted"] > 0
+    spec_local, _ = run(spec_decode=3)
+    assert spec_mesh == spec_local
+
+
+def test_engine_mesh_spec_sampling_reproducible(lm):
+    """mesh x spec x sampling: same seed -> same streams, tokens in vocab."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 emulated devices")
+    from quantizedattention_tpu.parallel import make_attention_mesh
+
+    params, cfg = lm
+    mesh = make_attention_mesh(data=2, model=2, context=1)
+    prompts = [[5, 6, 7] * 4, [12, 33, 2, 47]]
+
+    def run(seed):
+        eng = ServingEngine(params, cfg, n_slots=2, scheduler="python",
+                            mesh=mesh, spec_decode=2, temperature=0.8,
+                            top_k=8, seed=seed)
+        rids = [eng.submit(p, 10) for p in prompts]
+        res = eng.run()
+        return [res[r].tokens for r in rids]
+
+    a, b = run(3), run(3)
+    assert a == b
+    assert all(0 <= t < cfg.vocab_size for seq in a for t in seq)
+    assert run(4) != a
 
 
 @pytest.mark.parametrize("kvq", [None, "int4"])
