@@ -77,12 +77,56 @@ def probe_backend() -> bool:
     compute_code = ("import jax, jax.numpy as jnp; "
                     "x = float(jnp.sum(jnp.ones((8, 8)))); "
                     "print(jax.devices()[0].platform, x)")
-    for attempt in range(3):
-        if _probe_once(compute_code, 240.0, "compute", attempt, 3):
+    # escalating deadlines: the worst observed slow-warm compile was 209 s
+    # (2026-08-19) and 240 s alone left only ~15% headroom — a marginally
+    # slower warm-up day must not read as "down". The fully-down path still
+    # fails fast: it dies at stage 1's 75 s enumeration probe, never here.
+    for attempt, deadline in enumerate((240.0, 360.0, 480.0)):
+        if _probe_once(compute_code, deadline, "compute", attempt, 3):
             return True
         if attempt < 2:
             time.sleep(30.0)
     return False
+
+
+# Measured once per run (main): total seconds of a TRIVIAL 64-iter chain —
+# i.e. the fetch round-trip alone. chained_time carries RTT/n_chain as an
+# ADDITIVE per-call bias (~0.4-0.5 ms at n_chain=64; round-5 measurement:
+# a chained `jnp add` "costs" 476 us/call, experiments/call_floor.py).
+# Stderr rows report bias-corrected (debiased) times alongside the legacy
+# ones; the stdout HEADLINE keeps the legacy (biased) methodology for
+# comparability with BENCH_r01-r04 — the bias inflates numerator and
+# denominator alike, so the legacy ratio UNDERSTATES the true speedup
+# (conservative direction).
+_FETCH_FLOOR_S = 0.0
+
+
+def measure_fetch_floor(n_chain=64):
+    """Total seconds of a trivial n_chain-iter chain = the per-fetch RTT."""
+    global _FETCH_FLOOR_S
+    x = jnp.ones((8, 128), jnp.float32)
+
+    @jax.jit
+    def chained(x_):
+        out = jax.lax.fori_loop(0, n_chain, lambda i, a: a + 1.0, x_)
+        return jnp.sum(out)
+
+    float(chained(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(chained(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    _FETCH_FLOOR_S = ts[len(ts) // 2]
+    log(f"fetch floor (trivial 64-iter chain total): {_FETCH_FLOOR_S*1e3:.1f} ms "
+        f"-> per-call bias at n_chain=64: {_FETCH_FLOOR_S/n_chain*1e6:.0f} us")
+    return _FETCH_FLOOR_S
+
+
+def _debias(t, n_chain=64):
+    """Remove the per-call fetch bias (never below 10% of the raw time)."""
+    return max(t - _FETCH_FLOOR_S / n_chain, 0.1 * t)
 
 
 def chained_time(step_fn, q, k, v, n_chain=64, reps=5):
@@ -167,6 +211,11 @@ def bench_shape(B, H, T, D, causal=True, accuracy=True):
         f"{t_sdpa/t_int8:.2f}x SDPA")
     log(f"int8 fused (infer)    : {t_int8f*1e3:8.3f} ms  {tf(t_int8f):6.1f} TFLOP/s  "
         f"{t_sdpa/t_int8f:.2f}x SDPA  {t_bf16/t_int8f:.2f}x bf16-kernel")
+    if _FETCH_FLOOR_S:
+        d_sdpa, d_bf16, d_i8f = (_debias(t) for t in (t_sdpa, t_bf16, t_int8f))
+        log(f"debiased (fetch-floor-corrected): SDPA {tf(d_sdpa):6.1f}, "
+            f"bf16 {tf(d_bf16):6.1f}, int8-fused {tf(d_i8f):6.1f} TFLOP/s; "
+            f"int8-fused {d_sdpa/d_i8f:.2f}x SDPA")
 
     ok = True
     if accuracy:
@@ -394,15 +443,18 @@ def bench_jvp(B=4, H=16, T=4096, D=64):
     return t_fast
 
 
-def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
-                 kv_quant=None):
-    """Serving decode step tokens/s at full context (stderr detail).
+def _build_decode_arm(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
+                      kv_quant=None, d_model=1024, n_heads=16, head_dim=64):
+    """Build one serving-decode arm; returns measure() -> per-step seconds
+    for ONE timed trial (one fetch of a 64-step chain). Arms are built once
+    and measured in interleaved rounds (bench_decode_ab) because the relay's
+    drift is TEMPORAL — back-to-back A/A/B/B lets a slow half-hour bias one
+    arm; A/B/A/B does not.
 
     weight_quant: None (bf16 weights), "pallas" (int8 weights through the
     in-VMEM-dequant kernel, ops/int8_linear.py), "xla" (int8 weights
     dequantized by XLA), or "int4" (packed nibbles + group scales through
-    ops/int4_linear.py) — decode is weight-HBM-bound, so int8 weights
-    bound the next 2x after the measured bf16 1.5x, int4 the 2x after.
+    ops/int4_linear.py) — decode is weight-HBM-bound.
 
     kv_quant: None (the default int8 KV cache) / "int4" (packed-nibble
     cache, parallel/kv4_cache.py) / "int8-aligned" (the int8 cache at the
@@ -411,14 +463,14 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
     from quantizedattention_tpu.models import (
         TransformerConfig, decode_step_batched, init_transformer, prefill_batched,
     )
-    from quantizedattention_tpu.tune.autotune import resolve_decode_block
 
     # modest vocab keeps the relay's compile-request body under its limit —
     # params must also ride as jit ARGUMENTS (closure capture would bake the
     # embed/unembed tables into the program as constants)
     cfg = TransformerConfig(
-        vocab_size=8192, d_model=1024, n_heads=16, n_kv_heads=16, head_dim=64,
-        n_layers=n_layers, max_seq=ctx + (256 if kv_quant else 128),
+        vocab_size=8192, d_model=d_model, n_heads=n_heads, n_kv_heads=n_heads,
+        head_dim=head_dim, n_layers=n_layers,
+        max_seq=ctx + (256 if kv_quant else 128),
         attention="bf16",
     )
     from quantizedattention_tpu.parallel.kv4_cache import init_kv4_cache
@@ -455,25 +507,86 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
         return jnp.sum(t)
 
     pos0 = jnp.full((n_slots,), ctx, jnp.int32)
-    float(ch(params, tok, pos0, caches))
-    times = []
-    for _ in range(5):
+
+    def measure():
         t0 = time.perf_counter()
         float(ch(params, tok, pos0, caches))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    per_step = times[len(times) // 2] / n
+        return (time.perf_counter() - t0) / n
+
+    return measure, cfg
+
+
+def _median_spread(ts):
+    """(median, relative spread) of a sample list; spread = (max-min)/med."""
+    ts = sorted(ts)
+    med = ts[len(ts) // 2]
+    return med, (ts[-1] - ts[0]) / med if med else 0.0
+
+
+def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
+                 kv_quant=None, trials=5, **arm_kw):
+    """Single-arm serving decode step rate (stderr detail) — the plain
+    decode-NL rows. A/B comparisons go through bench_decode_ab instead."""
+    from quantizedattention_tpu.tune.autotune import resolve_decode_block
+
+    measure, cfg = _build_decode_arm(n_slots=n_slots, ctx=ctx,
+                                     n_layers=n_layers,
+                                     weight_quant=weight_quant,
+                                     kv_quant=kv_quant, **arm_kw)
+    measure()  # compile + warm
+    per_step, spread = _median_spread([measure() for _ in range(trials)])
     blk = resolve_decode_block(cfg.max_seq, cfg.head_dim,
                                kind="decode4" if kv_quant == "int4" else "decode")
     wq = f", int8 weights ({weight_quant})" if weight_quant else ""
     if kv_quant:
         wq += f", kv cache {kv_quant} (max_seq {cfg.max_seq})"
     log(f"--- serving decode: {n_slots} slots, ctx {ctx}, "
-        f"{n_layers}L/1024d model{wq} ---")
+        f"{n_layers}L/{cfg.d_model}d model{wq} ---")
     log(f"decode step: {per_step*1e3:7.3f} ms  ->  {n_slots/per_step:,.0f} tokens/s"
-        f"  (decode block_kv={blk}, "
-        f"{'tuned' if blk != 512 else 'default/tuned-equal'})")
+        f"  (spread ±{spread*50:.1f}%, decode block_kv={blk})")
     return per_step
+
+
+def bench_decode_ab(arm_specs, trials=3, label=""):
+    """Interleaved serving-step A/B (round-4 verdict #5): build every arm,
+    then time them in A/B/A/B rounds and report median ± spread per arm and
+    each ratio vs the FIRST arm, labeled 'within noise' when the delta is
+    inside the combined measured spread. Single-shot two-decimal speedups
+    through a ±10% relay flipped sign day-to-day (w8 1.12x->0.98x, prefix
+    1.55x->0.99x); a claim here must clear its own error bar.
+
+    arm_specs: list of (name, kwargs-for-_build_decode_arm); the first arm
+    is the baseline. Returns {name: (median_s, spread)}."""
+    arms = []
+    for name, kw in arm_specs:
+        try:
+            m, _cfg = _build_decode_arm(**kw)
+            m()  # compile + warm now, so round 1 isn't a compile for late arms
+            arms.append((name, m))
+        except Exception as e:  # noqa: BLE001 — one bad arm must not kill the A/B
+            log(f"  arm {name} failed to build: {type(e).__name__}: {e}")
+    samples = {name: [] for name, _ in arms}
+    for _ in range(trials):
+        for name, m in arms:  # temporal interleave
+            samples[name].append(m())
+    log(f"--- interleaved decode A/B{': ' + label if label else ''} "
+        f"({trials} rounds) ---")
+    stats = {}
+    base = None
+    for name, _m in arms:
+        med, spread = _median_spread(samples[name])
+        stats[name] = (med, spread)
+        if base is None:
+            base = (name, med, spread)
+            log(f"  {name:24s} {med*1e3:8.3f} ms/step  ±{spread*50:4.1f}%  (baseline)")
+        else:
+            ratio = base[1] / med
+            noise = (base[2] + spread) / 2
+            tag = "WITHIN NOISE" if abs(ratio - 1.0) <= noise else (
+                "faster" if ratio > 1 else "SLOWER")
+            log(f"  {name:24s} {med*1e3:8.3f} ms/step  ±{spread*50:4.1f}%  "
+                f"{ratio:5.2f}x vs {base[0]} [{tag}]")
+    return stats
 
 
 def bench_engine(n_slots=8, ctx=1024, horizon=32, n_tokens=96, n_layers=4,
@@ -616,21 +729,30 @@ def bench_prefix_cache(n_slots=8, shared=768, tail=64, n_tokens=32,
         for p in w1:  # compile + (warm) seed the store
             eng.submit(p, n_tokens)
         eng.run()
-        for p in w2:
-            eng.submit(p, n_tokens)
+        # wave 2 is the measured one; per-request TTFT from the engine's
+        # own GenerationResult.ttft_s (round-4 verdict #6: what prefix
+        # caching actually buys is skipped prefill BEFORE the first token —
+        # invisible in whole-run tokens/s through a ~26 ms-RTT relay at 32
+        # new tokens)
+        rids = [eng.submit(p, n_tokens) for p in w2]
         t0 = time.perf_counter()
         res = eng.run()
         dt = time.perf_counter() - t0
         total = sum(len(r.tokens) for r in res.values())
-        return total / dt, eng.stats()
+        ttfts = sorted(res[r].ttft_s for r in rids)
+        ttft_med = ttfts[len(ttfts) // 2] if ttfts else float("nan")
+        return total / dt, ttft_med, eng.stats()
 
-    cold_tps, _ = run_engine(False)
-    warm_tps, s = run_engine(True)
+    cold_tps, cold_ttft, _ = run_engine(False)
+    warm_tps, warm_ttft, s = run_engine(True)
     log(f"--- prefix-cache A/B: {n_slots} slots x ({shared} shared + {tail} "
         f"tail) prompt, {n_tokens} new tokens, {n_layers}L ---")
     log(f"cold {cold_tps:,.0f} tok/s  ->  warm {warm_tps:,.0f} tok/s "
         f"({warm_tps/cold_tps:.2f}x; hit pages {s.get('prefix_hit_pages', 0)}, "
         f"miss pages {s.get('prefix_miss_pages', 0)})")
+    log(f"TTFT (median over wave-2 requests): cold {cold_ttft*1e3:,.1f} ms"
+        f"  ->  warm {warm_ttft*1e3:,.1f} ms  ({cold_ttft/warm_ttft:.2f}x"
+        f" faster to first token)")
     return warm_tps / cold_tps
 
 
@@ -638,12 +760,35 @@ def _section(name, fn, *args, **kwargs):
     """Run one NON-headline bench section; a failure (transient relay flap,
     OOM at an exotic shape) logs and moves on instead of killing the whole
     capture — BENCH_r03 was lost to an all-or-nothing run. The headline
-    section and its accuracy gates are NOT routed through this."""
+    section and its accuracy gates are NOT routed through this.
+
+    Backend-death recovery (round-4 verdict #2): BENCH_r04 lost 8 tail
+    sections to ONE mid-run relay death — each section failed in sequence
+    with FAILED_PRECONDITION and nothing ever re-probed the backend. When a
+    section fails with a backend-death-class error, re-run the bounded
+    probe (which waits out a re-warming relay) and retry the section once;
+    later sections then meet a live backend instead of a corpse."""
     try:
         return fn(*args, **kwargs)
     except Exception as e:  # noqa: BLE001 — deliberate capture-resilience
         log(f"SECTION FAILED ({name}): {type(e).__name__}: {e}")
-        return None
+        dead = any(tag in f"{type(e).__name__}: {e}" for tag in (
+            "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+            "INTERNAL", "Socket closed", "connection",
+        ))
+        if not dead:
+            return None
+        log(f"({name}) backend-death class error -> re-probing backend")
+        if not probe_backend():
+            log(f"({name}) backend did not come back; continuing (later "
+                f"sections will re-probe on their own failures)")
+            return None
+        log(f"({name}) backend back up; retrying section once")
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e2:  # noqa: BLE001
+            log(f"SECTION FAILED on retry ({name}): {type(e2).__name__}: {e2}")
+            return None
 
 
 def main():
@@ -655,6 +800,8 @@ def main():
             "error": "backend unreachable (probe timed out)",
         }))
         sys.exit(1)
+
+    _section("fetch-floor", measure_fetch_floor)
 
     # BASELINE config 3's long-sequence regime — the HEADLINE — runs FIRST:
     # if the relay flaps mid-run, the claimable number is already banked.
@@ -688,29 +835,38 @@ def main():
     _section("train-d128", bench_train_step, B=2, H=8, T=4096, D=128)
     _section("jvp", bench_jvp)
     per_step_4 = _section("decode-4L", bench_decode)
-    # weight-only int8 A/B: decode is weight-HBM-bound, int8 halves the
-    # weight bytes again after bf16; pallas kernel vs XLA-dequant arms
-    w8 = _section("decode-4L-w8", bench_decode, weight_quant="pallas")
-    w8x = _section("decode-4L-w8-xla", bench_decode, weight_quant="xla")
-    w4 = _section("decode-4L-w4", bench_decode, weight_quant="int4")
-    # int4 KV cache A/B (same 256-aligned cache geometry for both arms)
-    kv4 = _section("decode-4L-kv4", bench_decode, kv_quant="int4")
-    kv8a = _section("decode-4L-kv8-aligned", bench_decode, kv_quant="int8-aligned")
-    if kv4 and kv8a:
-        log(f"int4-KV decode speedup vs int8 (aligned): {kv8a/kv4:.2f}x")
-    # long-context arm of the same A/B: at ctx 1024 the decode kernel is only
-    # ~40% of the step and int4 measured 0.92x (ARCHITECTURE §4); at ctx 4096
-    # KV bytes dominate the step and the halved stream should cross over
-    kv4l = _section("decode-4L-kv4-4k", bench_decode, ctx=4096, kv_quant="int4")
-    kv8l = _section("decode-4L-kv8-aligned-4k", bench_decode, ctx=4096,
-                    kv_quant="int8-aligned")
-    if kv4l and kv8l:
-        log(f"int4-KV decode speedup vs int8 (aligned) at ctx 4096: "
-            f"{kv8l/kv4l:.2f}x")
-    if per_step_4 and w8:
-        log(f"int8-weight decode speedup: pallas {per_step_4/w8:.2f}x"
-            + (f", xla {per_step_4/w8x:.2f}x" if w8x else "")
-            + (f"; int4 {per_step_4/w4:.2f}x" if w4 else ""))
+    # weight-only quant A/B at d1024 — INTERLEAVED (round-4 verdict #5: the
+    # single-shot ratios here flipped sign across days, 1.12x -> 0.98x)
+    _section("w-quant-1024d", bench_decode_ab, [
+        ("bf16", {}),
+        ("w8-pallas", {"weight_quant": "pallas"}),
+        ("w8-xla", {"weight_quant": "xla"}),
+        ("w4", {"weight_quant": "int4"}),
+    ], label="weights @ d_model 1024 / 4L (~50 MB bf16 — NOT weight-bound)")
+    # ... and in the TARGET regime (round-4 verdict #4): d_model 4096 / 4L
+    # is ~1.6 GB of bf16 weights -> decode genuinely weight-HBM-bound; this
+    # is where ops/int8_linear.py's k-block streaming should finally matter
+    d4096 = dict(d_model=4096, n_heads=32, head_dim=128, ctx=512, n_slots=8)
+    _section("w-quant-4096d", bench_decode_ab, [
+        ("bf16", dict(d4096)),
+        ("w8-pallas", dict(d4096, weight_quant="pallas")),
+        ("w8-xla", dict(d4096, weight_quant="xla")),
+        ("w4", dict(d4096, weight_quant="int4")),
+    ], label="weights @ d_model 4096 / 4L (~1.6 GB bf16 — weight-bound)")
+    # int4 KV cache A/B, interleaved, same 256-aligned geometry both arms.
+    # History: the round-4 token-order-concat kernel LOST at ctx 4096
+    # (0.71x, docs/BENCH_RECAPTURE_2026-08-19.log:77-82 — the refuted
+    # "crossover" prediction); the round-5 kernel runs two dots per nibble
+    # half in byte-row order (parallel/kv4_cache.py). These rows are the
+    # regression guard on that fix at both the short- and long-context ends.
+    _section("kv4-ab-1k", bench_decode_ab, [
+        ("kv8-aligned", {"kv_quant": "int8-aligned"}),
+        ("kv4", {"kv_quant": "int4"}),
+    ], label="int4 KV @ ctx 1024 (kernel ~40% of step)")
+    _section("kv4-ab-4k", bench_decode_ab, [
+        ("kv8-aligned", {"ctx": 4096, "kv_quant": "int8-aligned"}),
+        ("kv4", {"ctx": 4096, "kv_quant": "int4"}),
+    ], label="int4 KV @ ctx 4096 (KV bytes dominate)")
     _section("engine-4L", bench_engine)
     _section("engine-spec", bench_spec_decode)
     # deeper model: a 12-layer profile where per-layer cache traffic and
