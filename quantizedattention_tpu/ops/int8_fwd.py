@@ -5,10 +5,12 @@ TPU-native re-design of the reference's `helion_atten_int8_hl_dot_fwd`
 fused into a single Pallas pass, QKᵀ and PV matmuls on int8 payloads, online
 softmax in f32.
 
-**TPU-first matmul strategy (measured, v5e):** Mosaic lowers
-`dot(int8, int8) -> int32` at ~0.7x the bf16 MXU rate (22.9 vs 31.8 TFLOP/s
-at contraction depth 512, this round's microbenchmark) — unlike CUDA tensor
-cores there is no int8 rate advantage to chase. Integer payloads in
+**TPU-first matmul strategy (measured, v5e; reconciled round 5 —
+experiments/int8_mxu_rate.py, slope-timed):** `dot(int8, int8) -> int32`
+runs at 0.22-0.67x the bf16 MXU rate for contraction depths 64-1024 and
+overtakes bf16 (1.40x) only at depth ~4096 — deeper than any dot in these
+kernels (QK^T contracts d=64/128, PV contracts the <=1024-row kv subtile).
+Unlike CUDA tensor cores there is no int8 rate advantage to chase here. Integer payloads in
 [-127, 127] are *exactly* representable in bf16 (8-bit mantissa), their
 products (< 2^14) are exact, and the MXU accumulates in f32 where integer
 sums below 2^24 stay exact — so every "int8" matmul here casts the int8

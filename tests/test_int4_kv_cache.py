@@ -187,6 +187,21 @@ def test_engine_kv4_validation(lm):
         ServingEngine(params, cfg, kv_quant="int2")
 
 
+def test_engine_kv4_long_ctx_warns(lm):
+    """kv_quant='int4' at long max_seq warns that int4 KV is a capacity
+    feature, not a throughput one (round-5 measured negative,
+    ARCHITECTURE §4); short max_seq stays silent."""
+    import dataclasses as _dc
+    import warnings
+
+    params, cfg = lm
+    with pytest.warns(UserWarning, match="capacity"):
+        ServingEngine(params, _dc.replace(cfg, max_seq=4096), kv_quant="int4")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ServingEngine(params, cfg, kv_quant="int4")  # max_seq 256: no warning
+
+
 def test_engine_kv4_chunked_prefill(lm):
     """Slotted int4 + chunked prefill (write_kv4_chunk RMW across nibble
     halves + read_prefix_kv4): multi-chunk admission == one-shot prefill,
