@@ -481,7 +481,7 @@ def _decode_attention_int4(
     q: jnp.ndarray,
     cache: Int4KVCache,
     sm_scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     return_lse: bool = False,
     interpret: bool | None = None,
     spec: int = 1,

@@ -323,7 +323,7 @@ def _decode_attention(
     q: jnp.ndarray,
     cache: QuantizedKVCache,
     sm_scale: float | None = None,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     return_lse: bool = False,
     interpret: bool | None = None,
     spec: int = 1,

@@ -256,7 +256,7 @@ def autotune_bwd(
     return best_cfg, best_t
 
 
-def resolve_decode_block(max_len: int, head_dim: int, default: int = 512,
+def resolve_decode_block(max_len: int, head_dim: int, default: int = 1024,
                          kind: str = "decode") -> int:
     """block_kv for the decode kernels on this device kind: the tuned winner
     for (kv=max_len, head_dim) when `autotune_decode` has run, else `default`.
