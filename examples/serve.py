@@ -53,8 +53,10 @@ def main():
 def main_quantized_spec():
     """The serving quantization + speculation stack in one engine:
     int8 weights (in-VMEM-dequant matmuls), int4 KV cache (packed-nibble
-    decode), and greedy speculative decoding (n-gram prompt-lookup drafts
-    verified in one staircase dispatch — token-exact with plain greedy)."""
+    decode; a CAPACITY lever — 2x context per chip, see ARCHITECTURE §4),
+    and SAMPLED speculative decoding (n-gram prompt-lookup drafts verified
+    in one staircase dispatch; rejection-sampling acceptance keeps the
+    output distribution exactly the plain-sampling one)."""
     cfg = TransformerConfig(
         vocab_size=512, d_model=256, n_heads=4, n_kv_heads=2, head_dim=64,
         n_layers=2, max_seq=512, attention="bf16",
@@ -67,6 +69,8 @@ def main_quantized_spec():
         weight_quant="int8",            # 2x fewer weight bytes than bf16
         kv_quant="int4",                # 2x fewer KV bytes than the int8 cache
         spec_decode=4,                  # up to 5 tokens per model pass
+        temperature=0.7, top_k=16,      # composes with sampling (round 5)
+        seed=0,
     )
     rid = eng.submit([7, 8, 9] * 6, max_new_tokens=32)
     res = eng.run()
