@@ -3,8 +3,9 @@
 Round-5 history:
 - ctx-4096 committed negative: int4 0.71x vs int8 step-level with the
   round-4 token-order-concat kernel (docs/BENCH_RECAPTURE_2026-08-19.log).
-- two-dot byte-row kernel (parallel/kv4_cache.py) moved the step-level A/B
-  to 0.93x; this experiment measures the KERNEL alone.
+- two-dot byte-row kernel (parallel/kv4_cache.py): a single-shot step A/B
+  first read 0.93x (fetch-bias artifact); the interleaved BENCH_r05 step
+  A/B reads 0.73x. This experiment measures the KERNEL alone, debiased.
 - experiments/call_floor.py exposed a ~0.5 ms ADDITIVE bias in
   chained_seconds at n_chain=64 (the ~30 ms fetch RTT / 64 — even a
   chained `jnp add` "costs" 476 us). All timing here is therefore

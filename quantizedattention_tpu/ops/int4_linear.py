@@ -123,6 +123,21 @@ def int4_weight_matmul(
     block_m = min(block_m, max(8, -(-m // 8) * 8))
     block_n = min(block_n, max(128, -(-n // 128) * 128))
 
+    # scoped-VMEM budget with Mosaic's double-buffered input tiles: the
+    # full-contraction body holds x_lo + x_hi ([block_m, K/2] bf16 each),
+    # the packed tile ([K/2, block_n] int8) and both scale tiles — at
+    # d_model 4096 (K=16384, prefill block_m=256) that is ~24 MB and the
+    # compile dies (observed in the round-5 bench d4096 arm). Shrink
+    # block_m first (the dots stay wide), then block_n, until the
+    # double-buffered tiles fit ~12 MB.
+    def _tile_bytes(bm, bn):
+        return 2 * (2 * bm * half * 2 + half * bn + 2 * (kp // group) * bn * 4)
+
+    while _tile_bytes(block_m, block_n) > 12 * 1024 * 1024 and block_m > 8:
+        block_m //= 2
+    while _tile_bytes(block_m, block_n) > 12 * 1024 * 1024 and block_n > 128:
+        block_n //= 2
+
     xb = x.astype(jnp.bfloat16)
     pad_m = (-m) % block_m
     if pad_m:

@@ -43,18 +43,20 @@ ICI_BYTES_PER_S = 4.5e10      # one ICI link, one direction
 HOP_LATENCY_S = 1e-6          # per ppermute hop
 COLLECTIVE_LATENCY_S = 5e-6   # per blocking collective dispatch
 
-# Measured single-chip rates on v5e (matmul FLOPs / wall time; bench.py
-# chained timing at the (4,16,4096,64) causal anchor, re-anchored to the
-# round-4 capture of 2026-08-18 — fwd rows from bench_shape, bwd-only
-# effective rates backed out of the same-shape train rows via
-# t_train = F/r_fwd + 2.5F/r_bwd):
-#   fwd bf16 3.447 ms / int8 (train variant, +quant) 3.861 ms;
-#   train bf16 16.598 ms / int8 15.291 ms.
+# Measured single-chip rates on v5e (matmul FLOPs / wall time at the
+# (4,16,4096,64) causal anchor), re-anchored to the round-5 capture of
+# 2026-08-19 and DEBIASED: round 4's chained timings carried the fetch
+# RTT / n_chain as a ~0.51 ms/call additive bias (experiments/
+# call_floor.py), so the raw r04 rates understated true device rates.
+# Raw r05: fwd bf16 3.400 ms / int8 (train variant, +quant) 3.800 ms;
+# train bf16 16.680 ms / int8 15.327 ms; fetch floor 32.6 ms / 64 =
+# 0.509 ms subtracted per call. bwd-only effective rates backed out via
+# t_train = F/r_fwd + 2.5F/r_bwd.
 MEASURED_RATES = {
-    ("bf16", "fwd"): 39.9e12,
-    ("bf16", "bwd"): 26.1e12,
-    ("int8", "fwd"): 35.6e12,
-    ("int8", "bwd"): 30.1e12,
+    ("bf16", "fwd"): 47.5e12,
+    ("bf16", "bwd"): 25.9e12,
+    ("int8", "fwd"): 41.8e12,
+    ("int8", "bwd"): 29.8e12,
 }
 
 
