@@ -1,13 +1,16 @@
 """INT4-quantized KV cache + Pallas decode attention.
 
 The KV-side counterpart of the weight-only int4 path (ops/int4_linear.py):
-decode at long context is KV-bandwidth-bound, and v5e's MXU has no
-low-precision rate advantage (docs/ARCHITECTURE.md §4), so int4 payloads
-halve the int8 cache's HBM stream — the kernel unpacks nibbles on the
-VMEM-resident tile and runs the same bf16-rate dots as the int8 kernel
-(parallel/kv_cache.py, whose layout decisions this file inherits: scales
-[b, h, max_len] with the token axis on lanes, GQA q-groups folded per kv
-head, heads kept in-cell).
+int4 payloads halve the int8 cache's HBM FOOTPRINT — a CAPACITY feature
+(2x the max context or live slots per chip). It is NOT a decode-speed
+feature: the decode kernel's floor is the per-element VPU work, not HBM
+bandwidth, so the halved stream measured 0.76-1.00x the int8 kernel
+across ctx 1k-8k (round 5, docs/ARCHITECTURE.md §4 — the engine warns at
+long max_seq). The kernel unpacks nibbles on the VMEM-resident tile and
+runs the same bf16-rate dots as the int8 kernel (parallel/kv_cache.py,
+whose layout decisions this file inherits: scales [b, h, max_len] with
+the token axis on lanes, GQA q-groups folded per kv head, heads kept
+in-cell).
 
 Packing: SPLIT-HALF PER 256-TOKEN PACK BLOCK. Byte row r of pack block B
 (buffer row 128·B + r) holds token 256·B + r in its low nibble and token

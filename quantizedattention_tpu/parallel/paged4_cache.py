@@ -3,8 +3,10 @@
 Completes the serving quantization matrix: the paged cache
 (parallel/paged_cache.py — vLLM-style page-table gather) with the int4
 payload format of the slotted int4 cache (parallel/kv4_cache.py). Each
-page's K/V stream is HALF the int8 page's bytes; the kernel unpacks
-nibbles on the VMEM-resident page tile and runs the same bf16-rate dots.
+page holds K/V at HALF the int8 page's bytes — a page-pool CAPACITY
+feature (2x the pages per chip), not a decode-speed one (see
+kv4_cache.py's header / ARCHITECTURE §4); the kernel unpacks nibbles on
+the VMEM-resident page tile and runs the same bf16-rate dots.
 
 Packing: SPLIT-HALF PER PAGE. Byte row r of a page (payload rows
 page_size/2) holds the page's token r in its low nibble and token
