@@ -200,7 +200,9 @@ def test_autotune_decode_sweep(tmp_path, monkeypatch, rng):
     from quantizedattention_tpu.tune.autotune import resolve_decode_block
 
     assert resolve_decode_block(256, 64) == best
-    assert resolve_decode_block(9999, 64) == 512  # untuned shape -> default
+    # untuned shape -> default (1024 since round 5 — the slope-timed sweep
+    # showed 1024 fastest wherever it divides, ARCHITECTURE §4)
+    assert resolve_decode_block(9999, 64) == 1024
     o_default = decode_attention(q, cache)  # resolves via the cache
     o_pinned = decode_attention(q, cache, block_kv=best)
     assert float(jnp.max(jnp.abs(o_default - o_pinned))) == 0.0
