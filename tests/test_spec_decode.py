@@ -421,21 +421,29 @@ def test_engine_spec_sampling_reproducible_and_banks(lm):
 
 # -- mesh x spec ---------------------------------------------------------------
 
-@pytest.mark.parametrize("cache", ["slotted", "paged"])
+@pytest.mark.parametrize("cache", ["slotted", "paged", "slotted-int4"])
 def test_engine_mesh_spec_token_exact(lm, cache):
     """spec_decode under MESH serving (round-4 verdict #7b lifted): the
     sharded verify step (slots on data, heads on model — the staircase
     kernel is per-(slot, kv-head), so zero extra collectives) must be
     token-exact with BOTH the plain mesh engine and the single-host spec
-    engine, and must actually bank accepted drafts."""
+    engine, and must actually bank accepted drafts. The int4 arm runs the
+    full matrix cell mesh x spec x packed-nibble staircase verify."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 emulated devices")
+    import dataclasses as _dc
+
     from quantizedattention_tpu.parallel import make_attention_mesh
 
     params, cfg = lm
     mesh = make_attention_mesh(data=2, model=2, context=1)
     prompts = [[5, 6, 7] * 4, [12, 33, 2, 47], [9, 9, 2, 9, 9, 2, 9, 9], [4, 1]]
-    kw = dict(cache="paged", n_pages=16, page_size=128) if cache == "paged" else {}
+    kw = {}
+    if cache == "paged":
+        kw = dict(cache="paged", n_pages=16, page_size=128)
+    elif cache == "slotted-int4":
+        kw = dict(kv_quant="int4")
+        cfg = _dc.replace(cfg, max_seq=256)  # int4 wants a 256-aligned max_seq
 
     def run(**extra):
         eng = ServingEngine(params, cfg, n_slots=4, scheduler="python",
