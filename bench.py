@@ -543,7 +543,8 @@ def bench_decode(n_slots=8, ctx=1024, n_layers=4, weight_quant=None,
     log(f"--- serving decode: {n_slots} slots, ctx {ctx}, "
         f"{n_layers}L/{cfg.d_model}d model{wq} ---")
     log(f"decode step: {per_step*1e3:7.3f} ms  ->  {n_slots/per_step:,.0f} tokens/s"
-        f"  (spread ±{spread*50:.1f}%, decode block_kv={blk})")
+        f"  (spread ±{spread*50:.1f}%, decode block_kv={blk} requested — the "
+        f"kernel rounds to the largest divisor of max_seq under its VMEM cap)")
     return per_step
 
 

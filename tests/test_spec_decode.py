@@ -421,7 +421,8 @@ def test_engine_spec_sampling_reproducible_and_banks(lm):
 
 # -- mesh x spec ---------------------------------------------------------------
 
-@pytest.mark.parametrize("cache", ["slotted", "paged", "slotted-int4"])
+@pytest.mark.parametrize("cache", ["slotted", "paged", "slotted-int4",
+                                   "paged-int4"])
 def test_engine_mesh_spec_token_exact(lm, cache):
     """spec_decode under MESH serving (round-4 verdict #7b lifted): the
     sharded verify step (slots on data, heads on model — the staircase
@@ -444,6 +445,8 @@ def test_engine_mesh_spec_token_exact(lm, cache):
     elif cache == "slotted-int4":
         kw = dict(kv_quant="int4")
         cfg = _dc.replace(cfg, max_seq=256)  # int4 wants a 256-aligned max_seq
+    elif cache == "paged-int4":
+        kw = dict(cache="paged", n_pages=16, page_size=128, kv_quant="int4")
 
     def run(**extra):
         eng = ServingEngine(params, cfg, n_slots=4, scheduler="python",
