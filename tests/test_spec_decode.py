@@ -422,7 +422,7 @@ def test_engine_spec_sampling_reproducible_and_banks(lm):
 # -- mesh x spec ---------------------------------------------------------------
 
 @pytest.mark.parametrize("cache", ["slotted", "paged", "slotted-int4",
-                                   "paged-int4"])
+                                   "paged-int4", "slotted-w8"])
 def test_engine_mesh_spec_token_exact(lm, cache):
     """spec_decode under MESH serving (round-4 verdict #7b lifted): the
     sharded verify step (slots on data, heads on model — the staircase
@@ -447,6 +447,8 @@ def test_engine_mesh_spec_token_exact(lm, cache):
         cfg = _dc.replace(cfg, max_seq=256)  # int4 wants a 256-aligned max_seq
     elif cache == "paged-int4":
         kw = dict(cache="paged", n_pages=16, page_size=128, kv_quant="int4")
+    elif cache == "slotted-w8":  # quantized-WEIGHT trees through the
+        kw = dict(weight_quant="int8")  # sharded verify's mm dispatch
 
     def run(**extra):
         eng = ServingEngine(params, cfg, n_slots=4, scheduler="python",
